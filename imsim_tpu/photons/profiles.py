@@ -1,0 +1,326 @@
+"""Surface-brightness profiles and photon-shooting samplers.
+
+The reference delegates profile rendering to GalSim's C++ photon shooting
+(imsim/stamp.py:562-572 drawImage(method='phot')).  TPU-native design:
+
+  * every circularly-symmetric profile (Gaussian, Kolmogorov, von Karman,
+    obscured Airy, SecondKick, Sersic) is reduced on *host*, once, to an
+    inverse radial-CDF table r(u);
+  * shooting photons on device is then r = table(u1), theta = 2*pi*u2 —
+    two gathers + trig over the whole pooled photon mega-batch;
+  * ellipticity / shear / magnification are affine maps on the sampled
+    positions; convolution of profiles is addition of sampled offsets.
+
+The enclosed-flux relation used throughout: for an isotropic profile with
+2D Fourier transform T(k) (T(0)=1), the enclosed flux is
+    F(r) = r * Integral_0^inf T(k) J1(k r) dk
+(e.g. T=exp(-s^2 k^2/2)  ->  F(r) = 1 - exp(-r^2/2 s^2)).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import special
+
+from ..utils.lookup import UniformTable, inverse_cdf_table
+
+# ----------------------------------------------------------------------------
+# Host-side CDF construction
+# ----------------------------------------------------------------------------
+
+
+def _enclosed_flux_from_mtf(T, k, r):
+    """F(r) = r * int T(k) J1(k r) dk via trapezoid on a log-k grid."""
+    # shape (nr, nk)
+    kr = np.outer(r, k)
+    integrand = T[None, :] * special.j1(kr)
+    F = r * np.trapezoid(integrand, k, axis=1)
+    # Numerical Hankel quadrature wiggles at large r; enforce monotone.
+    F = np.maximum.accumulate(np.clip(F, 0.0, 1.0))
+    return F / F[-1]
+
+
+def radial_cdf_from_mtf(T_func, r_max, n_r=1024, n_k=4096, k_max=None,
+                        n_table=2048):
+    """Build an inverse-CDF UniformTable u->r from an isotropic MTF T(k).
+
+    r and k in consistent units (r in arcsec <-> k in rad/arcsec etc.).
+    """
+    if k_max is None:
+        k_max = 400.0 / r_max * 50.0
+    k = np.linspace(1e-8, k_max, n_k)
+    T = T_func(k)
+    r = np.linspace(1e-6, r_max, n_r)
+    F = _enclosed_flux_from_mtf(T, k, r)
+    u = np.linspace(0.0, 1.0, n_table)
+    eps = np.arange(len(F)) * 1e-14
+    ri = np.interp(u, F + eps, r)
+    return UniformTable(0.0, 1.0 / (n_table - 1), jnp.asarray(ri, jnp.float32))
+
+
+@functools.lru_cache(maxsize=64)
+def kolmogorov_cdf(n_table: int = 2048):
+    """Inverse CDF for a Kolmogorov profile with FWHM == 1.
+
+    MTF: T(k) = exp[-3.44 (lambda k / (2 pi r0))^(5/3)] with
+    FWHM = 0.9758834 lambda / r0  (the standard Kolmogorov seeing relation
+    the reference exploits via GalSim, cf. imsim/stamp_utils.py:129-137).
+    In FWHM units: T(kappa) = exp[-3.44 (0.9758834 kappa / 2 pi)^(5/3)].
+    """
+    c = 3.44 * (1.0 / (2 * np.pi * 0.9758834)) ** (5.0 / 3.0)
+    T = lambda k: np.exp(-c * k ** (5.0 / 3.0))
+    # 99.99% flux radius of Kolmogorov ~ 20 FWHM (heavy tail)
+    return radial_cdf_from_mtf(T, r_max=25.0, k_max=60.0, n_table=n_table)
+
+
+@functools.lru_cache(maxsize=1)
+def _vk_spectrum_norm():
+    """Calibrate the von Karman spectrum constant so the L0->inf limit
+    reproduces the exact Kolmogorov structure function
+    D(rho) = 6.88 (rho/r0)^(5/3)."""
+    k = np.geomspace(1e-6, 1e5, 8192)
+    raw = np.trapezoid((1.0 - special.j0(k * 1.0)) * k ** (-8.0 / 3.0), k)
+    return 6.88 / raw  # with r0 = rho = 1
+
+
+def vonkarman_phase_spectrum(k, r0, L0):
+    """2D phase power spectrum Phi(k) [rad^2 m^2], k in rad/m, such that
+    D(rho) = 2 * int (1 - J0(k rho)) Phi(k) k dk reproduces
+    6.88 (rho/r0)^(5/3) as L0 -> inf."""
+    return (0.5 * _vk_spectrum_norm() * r0 ** (-5.0 / 3.0)
+            * (k**2 + 1.0 / L0**2) ** (-11.0 / 6.0))
+
+
+def vonkarman_structure(rho, r0, L0):
+    """von Karman phase structure function D(rho) [rad^2], rho in meters."""
+    k = np.geomspace(1e-4, 1e4, 4096)
+    Phi = vonkarman_phase_spectrum(k, r0, L0)
+    rho = np.atleast_1d(rho)
+    D = 2.0 * np.trapezoid(
+        (1.0 - special.j0(np.outer(rho, k))) * (Phi * k)[None, :], k, axis=1)
+    return D
+
+
+@functools.lru_cache(maxsize=64)
+def vonkarman_cdf(lam_nm: float, r0_m: float, L0_m: float = 25.0,
+                  n_table: int = 2048):
+    """Inverse CDF (arcsec) for a von Karman atmospheric PSF."""
+    lam = lam_nm * 1e-9
+    rho = np.geomspace(1e-4, 30.0, 512)  # meters
+    D = vonkarman_structure(rho, r0_m, L0_m)
+    # T(k_angular) = exp(-D(lambda k / 2 pi)/2), k in rad^-1
+    Dt = lambda r: np.interp(r, rho, D, left=0.0)
+    arcsec = np.pi / 180.0 / 3600.0
+
+    def T(k_arcsec):
+        k_rad = k_arcsec / arcsec
+        return np.exp(-0.5 * Dt(lam * k_rad / (2 * np.pi)))
+
+    fwhm_kolm = 0.9758834 * lam / r0_m / arcsec
+    return radial_cdf_from_mtf(T, r_max=25.0 * fwhm_kolm,
+                               k_max=60.0 / fwhm_kolm, n_table=n_table)
+
+
+@functools.lru_cache(maxsize=64)
+def airy_cdf(lam_nm: float, diam_m: float = 8.36, obscuration: float = 0.612,
+             n_table: int = 2048):
+    """Inverse CDF (arcsec) for an obscured Airy PSF.
+
+    MTF of an annular pupil = normalized autocorrelation of the annulus,
+    computed numerically (general for any obscuration).
+    """
+    lam = lam_nm * 1e-9
+    arcsec = np.pi / 180.0 / 3600.0
+    # pupil autocorrelation via FFT
+    n = 512
+    x = np.linspace(-1, 1, n)
+    X, Y = np.meshgrid(x, x)
+    R = np.hypot(X, Y)
+    pupil = ((R <= 1.0) & (R >= obscuration)).astype(float)
+    P = np.fft.rfft2(pupil)
+    ac = np.fft.irfft2(np.abs(P) ** 2, s=pupil.shape)
+    ac = np.fft.fftshift(ac)
+    ac /= ac.max()
+    # radial average; spatial-frequency axis: full pupil width spans nu in
+    # units of D/lambda*2 across n samples
+    cy = n // 2
+    prof_r = np.hypot(*np.meshgrid(np.arange(n) - cy, np.arange(n) - cy))
+    nbin = 256
+    idx = np.minimum((prof_r / (n / 2) * nbin).astype(int), nbin * 2)
+    Tr = np.bincount(idx.ravel(), ac.ravel(), minlength=nbin * 2 + 1)
+    Tc = np.bincount(idx.ravel(), minlength=nbin * 2 + 1)
+    Tr = Tr / np.maximum(Tc, 1)
+    nu_axis = np.arange(nbin * 2 + 1) / (2 * nbin) * (diam_m / lam)  # cycles/rad
+
+    def T(k_arcsec):
+        # k here is angular frequency [rad/arcsec]: nu = k/(2 pi)
+        nu = (k_arcsec / arcsec) / (2 * np.pi)
+        return np.interp(nu, nu_axis, Tr, right=0.0)
+
+    lam_over_D = lam / diam_m / arcsec  # arcsec
+    return radial_cdf_from_mtf(T, r_max=80.0 * lam_over_D,
+                               k_max=2 * np.pi * 1.05 / lam_over_D,
+                               n_table=n_table)
+
+
+@functools.lru_cache(maxsize=64)
+def second_kick_cdf(lam_nm: float, r0_m: float, diam_m: float = 8.36,
+                    obscuration: float = 0.612, kcrit: float = 0.2,
+                    L0_m: float = 25.0, n_table: int = 2048):
+    """Inverse CDF (arcsec) for the atmospheric "second kick":
+    diffraction (obscured Airy) plus the high-k tail of the von Karman
+    turbulence that the finite-resolution phase screens cannot carry
+    (split at kcrit*2pi/r0 [rad/m], mirroring imsim/atmPSF.py:164-205).
+
+    T_2k(k) = T_airy(k) * exp(-[D_full(rho) - D_lowk(rho)]/2), rho = lam k/2pi.
+    """
+    lam = lam_nm * 1e-9
+    arcsec = np.pi / 180.0 / 3600.0
+    kc = kcrit * 2 * np.pi / r0_m  # rad/m spatial frequency split
+
+    kgrid = np.geomspace(1e-4, 1e4, 4096)
+    Phi = vonkarman_phase_spectrum(kgrid, r0_m, L0_m)
+    hi = kgrid >= kc
+    rho = np.geomspace(1e-5, 30.0, 512)
+    J = special.j0(np.outer(rho, kgrid))
+    D_hi = 2.0 * np.trapezoid(
+        (1.0 - J[:, hi]) * (Phi[hi] * kgrid[hi])[None, :], kgrid[hi], axis=1)
+
+    # Annular-pupil MTF (same construction as airy_cdf) for the product form.
+    n = 512
+    x = np.linspace(-1, 1, n)
+    X, Y = np.meshgrid(x, x)
+    R = np.hypot(X, Y)
+    pupil = ((R <= 1.0) & (R >= obscuration)).astype(float)
+    P = np.fft.rfft2(pupil)
+    ac = np.fft.fftshift(np.fft.irfft2(np.abs(P) ** 2, s=pupil.shape))
+    ac /= ac.max()
+    cy = n // 2
+    prof_r = np.hypot(*np.meshgrid(np.arange(n) - cy, np.arange(n) - cy))
+    nbin = 256
+    idx = np.minimum((prof_r / (n / 2) * nbin).astype(int), nbin * 2)
+    Tr = np.bincount(idx.ravel(), ac.ravel(), minlength=nbin * 2 + 1)
+    Tc = np.bincount(idx.ravel(), minlength=nbin * 2 + 1)
+    Tr = Tr / np.maximum(Tc, 1)
+    nu_axis = np.arange(nbin * 2 + 1) / (2 * nbin) * (diam_m / lam)
+
+    def T(k_arcsec):
+        k_rad = k_arcsec / arcsec
+        nu = k_rad / (2 * np.pi)
+        t_airy = np.interp(nu, nu_axis, Tr, right=0.0)
+        rr = lam * k_rad / (2 * np.pi)
+        d_hi = np.interp(rr, rho, D_hi, left=0.0)
+        return t_airy * np.exp(-0.5 * d_hi)
+
+    lam_over_D = lam / diam_m / arcsec
+    r_max = max(80.0 * lam_over_D, 3.0 * 0.9758834 * lam / r0_m / arcsec)
+    return radial_cdf_from_mtf(T, r_max=r_max,
+                               k_max=2 * np.pi * 1.05 / lam_over_D,
+                               n_table=n_table)
+
+
+# --- Sersic ------------------------------------------------------------------
+
+SERSIC_N_GRID = np.linspace(0.3, 6.3, 61)
+
+
+def _sersic_b(n):
+    """Solve gammainc(2n, b) = 0.5 (half-light radius definition)."""
+    return special.gammaincinv(2 * n, 0.5)
+
+
+@functools.lru_cache(maxsize=4)
+def sersic_cdf_grid(n_u: int = 1024):
+    """(len(N_GRID), n_u) table of x = r/Re as a function of (n, u):
+    invert F(x) = gammainc(2n, b x^(1/n)). Sampled per-photon with bilinear
+    interpolation so every object can have its own Sersic index."""
+    grid = np.empty((len(SERSIC_N_GRID), n_u), np.float32)
+    # Avoid u=1 (infinite radius): cap at 0.9999 quantile.
+    u = np.linspace(0.0, 0.9999, n_u)
+    for i, n in enumerate(SERSIC_N_GRID):
+        b = _sersic_b(n)
+        g = special.gammaincinv(2 * n, u)
+        grid[i] = (g / b) ** n
+    return jnp.asarray(grid)
+
+
+# ----------------------------------------------------------------------------
+# Device-side samplers
+# ----------------------------------------------------------------------------
+
+
+def sample_radial(key, n, table: UniformTable, dtype=jnp.float32):
+    """Shoot n photons from an isotropic profile: returns (dx, dy)."""
+    ku, kt = jax.random.split(key)
+    u = jax.random.uniform(ku, (n,), dtype)
+    r = table(u)
+    theta = jax.random.uniform(kt, (n,), dtype, 0.0, 2 * jnp.pi)
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def sample_gaussian(key, n, sigma, dtype=jnp.float32):
+    xy = jax.random.normal(key, (n, 2), dtype)
+    return sigma * xy[:, 0], sigma * xy[:, 1]
+
+
+def sample_double_gaussian(key, n, fwhm1, fwhm2, wgt1, dtype=jnp.float32):
+    """Two-component Gaussian mixture (fallback PSF family,
+    imsim/atmPSF.py:448-538 DoubleGaussianPSF)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    s1 = fwhm1 / 2.3548200450309493
+    s2 = fwhm2 / 2.3548200450309493
+    pick1 = jax.random.uniform(k1, (n,), dtype) < wgt1
+    xy = jax.random.normal(k2, (n, 2), dtype)
+    s = jnp.where(pick1, s1, s2)
+    return s * xy[:, 0], s * xy[:, 1]
+
+
+def sample_sersic(key, n, sersic_n, hlr, grid=None, dtype=jnp.float32):
+    """Shoot from a circular Sersic profile; sersic_n/hlr may be per-photon
+    arrays (pooled multi-object batches)."""
+    if grid is None:
+        grid = sersic_cdf_grid()
+    ku, kt = jax.random.split(key)
+    u = jax.random.uniform(ku, (n,), dtype, 0.0, 1.0)
+    n_u = grid.shape[1]
+    # bilinear in (sersic_n, u)
+    fn = (jnp.asarray(sersic_n) - SERSIC_N_GRID[0]) / (
+        SERSIC_N_GRID[1] - SERSIC_N_GRID[0])
+    fn = jnp.clip(fn, 0.0, len(SERSIC_N_GRID) - 1.000001)
+    i0 = jnp.floor(fn).astype(jnp.int32)
+    wn = (fn - i0).astype(dtype)
+    fu = u * (n_u - 1.000001)
+    j0 = jnp.floor(fu).astype(jnp.int32)
+    wu = (fu - j0).astype(dtype)
+    g00 = grid[i0, j0]
+    g01 = grid[i0, j0 + 1]
+    g10 = grid[i0 + 1, j0]
+    g11 = grid[i0 + 1, j0 + 1]
+    x = (g00 * (1 - wn) * (1 - wu) + g01 * (1 - wn) * wu
+         + g10 * wn * (1 - wu) + g11 * wn * wu)
+    r = x * hlr
+    theta = jax.random.uniform(kt, (n,), dtype, 0.0, 2 * jnp.pi)
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def apply_ellipse(dx, dy, q, beta):
+    """Map a circular profile to axis ratio q at position angle beta,
+    preserving area (so hlr is the geometric-mean radius)."""
+    sq = jnp.sqrt(q)
+    ex = dx / sq  # stretch major
+    ey = dy * sq
+    c, s = jnp.cos(beta), jnp.sin(beta)
+    return c * ex - s * ey, s * ex + c * ey
+
+
+def apply_shear_mag(dx, dy, g1, g2, mu):
+    """Weak-lensing transform matching GSObject.lens(g1, g2, mu):
+    area (and flux) scale by mu; positions by the reduced-shear matrix."""
+    gsq = g1**2 + g2**2
+    norm = jnp.sqrt(jnp.abs(mu)) / jnp.sqrt(jnp.maximum(1.0 - gsq, 1e-12))
+    x = norm * ((1 + g1) * dx + g2 * dy)
+    y = norm * (g2 * dx + (1 - g1) * dy)
+    return x, y

@@ -1,0 +1,15 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+
+Tests exercise the multi-chip sharding paths (shard_map over a Mesh) without
+real TPU hardware, mirroring the driver's dryrun_multichip validation.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402, F401
