@@ -1,0 +1,161 @@
+"""Sky background: brightness model, CCD gradient plane, E2V fringing.
+
+Capability parity with imsim/sky_model.py.  The reference calls
+rubin_sim.skybrightness (ESO sky model + data files); that package is not
+available here, so SkyModel uses the standard analytic decomposition:
+per-band dark-sky zenith surface brightness (Rubin baseline values),
+van-Rhijn airglow airmass scaling, and the Krisciunas & Schaefer (1991)
+moonlight model.  The interface (get_sky_level -> photons/arcsec^2) and the
+downstream consumers (SkyGradient plane fit, CCD_Fringing spectral-
+synthesis heightfield) match the reference behaviors at
+imsim/sky_model.py:46-118,121-242.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..catalog.bandpass import Bandpass
+from ..catalog.instcat import RUBIN_AREA
+from ..utils.coords import angular_separation
+
+# Zenith dark-sky surface brightness, AB mag/arcsec^2 (Rubin baseline
+# values, LSST SRD / SMTN-002).
+DARK_SKY_SB = {"u": 22.96, "g": 22.26, "r": 21.20,
+               "i": 20.48, "z": 19.60, "y": 18.61}
+# Atmospheric extinction coefficient per band (mag/airmass)
+EXTINCTION_K = {"u": 0.47, "g": 0.21, "r": 0.13,
+                "i": 0.10, "z": 0.07, "y": 0.17}
+
+
+def _krisciunas_schaefer_delta(moon_phase_deg, moon_alt_rad, sep_rad, k, X):
+    """Moonlight brightening (linear flux units, nanoLamberts-ish scaled to
+    a flux ratio vs dark sky) following Krisciunas & Schaefer (1991)."""
+    if moon_alt_rad <= 0:
+        return 0.0
+    alpha = moon_phase_deg  # 0 = full moon
+    # lunar illuminance
+    istar = 10 ** (-0.4 * (3.84 + 0.026 * abs(alpha) + 4e-9 * alpha**4))
+    rho = np.degrees(sep_rad)
+    frho = 10 ** 5.36 * (1.06 + np.cos(sep_rad) ** 2) \
+        + 10 ** (6.15 - rho / 40.0)
+    # optical pathlength of moonlight (K&S eq. 3)
+    Xm = (1 - 0.96 * np.sin(np.pi / 2 - moon_alt_rad) ** 2) ** -0.5
+    Bmoon = frho * istar * 10 ** (-0.4 * k * Xm) \
+        * (1 - 10 ** (-0.4 * k * X))
+    # Convert nanoLamberts to approximate flux ratio vs a 21.2 mag/arcsec^2
+    # dark sky (B_dark ~ 79 nL in V)
+    return Bmoon / 79.0
+
+
+class SkyModel:
+    """Sky level in photons/arcsec^2 through the *hardware* bandpass
+    (the reference multiplies the sky SED by bp_hardware only,
+    imsim/sky_model.py:38-43: the atmosphere is already part of the
+    emission model)."""
+
+    def __init__(self, exptime, mjd, bandpass: Bandpass,
+                 pupil_area=RUBIN_AREA, airmass=1.0,
+                 moon_phase_deg=180.0, moon_alt_rad=-0.5,
+                 moon_ra=0.0, moon_dec=0.0, logger=None):
+        self.exptime = exptime
+        self.mjd = mjd
+        self.bandpass = bandpass
+        self.band = bandpass.band
+        self.pupil_area = pupil_area
+        self.airmass = airmass
+        self.moon_phase_deg = moon_phase_deg
+        self.moon_alt_rad = moon_alt_rad
+        self.moon_ra = moon_ra
+        self.moon_dec = moon_dec
+
+    def get_sky_level(self, ra, dec):
+        """photons/arcsec^2 at (ra, dec) radians."""
+        m_dark = DARK_SKY_SB.get(self.band, 21.0)
+        X = self.airmass
+        # van Rhijn airglow scaling with airmass + extinction of the airglow
+        k = EXTINCTION_K.get(self.band, 0.15)
+        vr = (1 - 0.96 * (1 - 1 / X**2)) ** -0.5 if X > 1 else 1.0
+        flux_ratio = vr * 10 ** (-0.4 * k * (X - 1))
+        sep = angular_separation(ra, dec, self.moon_ra, self.moon_dec)
+        flux_ratio += _krisciunas_schaefer_delta(
+            self.moon_phase_deg, self.moon_alt_rad, sep, k, X)
+        m_sky = m_dark - 2.5 * np.log10(max(flux_ratio, 1e-6))
+        # photons/s/cm^2/arcsec^2 via the bandpass AB zeropoint
+        rate = 10 ** (-0.4 * (m_sky - self.bandpass.zeropoint))
+        return rate * self.pupil_area * self.exptime
+
+
+class SkyGradient:
+    """Plane through the sky level at CCD center + lower corners; returns
+    the fractional level vs center (imsim/sky_model.py:88-118)."""
+
+    def __init__(self, sky_model, wcs, world_center_ra, world_center_dec,
+                 image_xsize):
+        self.sky_level_center = sky_model.get_sky_level(world_center_ra,
+                                                        world_center_dec)
+        cx, cy = wcs.radec_to_xy(world_center_ra, world_center_dec)
+        M = np.array([[float(cx), float(cy), 1],
+                      [0.0, 0.0, 1],
+                      [float(image_xsize), 0.0, 1]])
+        ra_ll, dec_ll = wcs.xy_to_radec(0.0, 0.0)
+        ra_lr, dec_lr = wcs.xy_to_radec(float(image_xsize), 0.0)
+        z = np.array([self.sky_level_center,
+                      sky_model.get_sky_level(ra_ll, dec_ll),
+                      sky_model.get_sky_level(ra_lr, dec_lr)])
+        self.a, self.b, self.c = np.linalg.solve(M, z)
+
+    def __call__(self, x, y):
+        return (self.a * x + self.b * y + self.c) / self.sky_level_center
+
+
+def sensor_fringing_seed(serial: str, visit: int) -> int:
+    """Deterministic per-sensor seed via sha256 (not hash()), the
+    reproducibility rule the reference follows at imsim/lsst_image.py:184."""
+    h = hashlib.sha256(f"{serial}:{visit}".encode()).digest()
+    return int.from_bytes(h[:4], "little")
+
+
+class CCD_Fringing:
+    """Normalized fringing surface for E2V sensors: spectral-synthesis
+    heightfield -> cos(2 n1 X) pattern at 0.2% amplitude
+    (imsim/sky_model.py:121-242)."""
+
+    def __init__(self, seed, spatial_vary=True, boresight_offset_deg=0.0):
+        self.seed = seed
+        self.spatial_vary = spatial_vary
+        self.offset = boresight_offset_deg
+
+    def generate_heightfield(self, fractal_dimension=2.5, n=4096):
+        H = 1 - (fractal_dimension - 2)
+        kpow = -(H + 1.0) / 1.2
+        gen = np.random.default_rng(self.seed)
+        kvec = np.fft.fftfreq(n)
+        k0 = kvec[n // 64]
+        kx, ky = np.meshgrid(kvec, kvec, sparse=True)
+        ksq = kx**2 + ky**2
+        A = np.zeros((n, n), complex)
+        m = ksq > 0
+        phase = 2 * np.pi * gen.uniform(size=(n, n))
+        A[m] = (ksq[m] ** kpow * gen.normal(size=(n, n))[m]
+                * np.exp(1j * phase[m]) * np.exp(-ksq[m] / k0**2))
+        return np.fft.ifft2(A)
+
+    def fringe_variation_level(self):
+        """OH skyline spatial variation vs field position: smooth radial
+        modulation standing in for the reference's measured
+        skyline_var.fits surface."""
+        if not self.spatial_vary:
+            return 1.0
+        return 1.0 + 0.06 * np.cos(self.offset * 1.8) - 0.03 * self.offset**2 / 4.0
+
+    def fringing_map(self, shape=(4096, 4096), amplitude=0.002):
+        level = self.fringe_variation_level()
+        n = 4096
+        X = self.generate_heightfield(2.5, n)
+        X *= 10.0 / np.std(X.real)
+        Z = amplitude * level * np.cos(2 * 1.5 * X.real) + 1.0
+        if Z.shape != shape:
+            Z = Z[:shape[0], :shape[1]]
+        return Z.astype(np.float32)

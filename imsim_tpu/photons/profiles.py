@@ -58,7 +58,7 @@ def radial_cdf_from_mtf(T_func, r_max, n_r=1024, n_k=4096, k_max=None,
     u = np.linspace(0.0, 1.0, n_table)
     eps = np.arange(len(F)) * 1e-14
     ri = np.interp(u, F + eps, r)
-    return UniformTable(0.0, 1.0 / (n_table - 1), jnp.asarray(ri, jnp.float32))
+    return UniformTable(0.0, 1.0 / (n_table - 1), np.asarray(ri, np.float32))
 
 
 @functools.lru_cache(maxsize=64)
@@ -236,7 +236,10 @@ def _sersic_b(n):
 def sersic_cdf_grid(n_u: int = 1024):
     """(len(N_GRID), n_u) table of x = r/Re as a function of (n, u):
     invert F(x) = gammainc(2n, b x^(1/n)). Sampled per-photon with bilinear
-    interpolation so every object can have its own Sersic index."""
+    interpolation so every object can have its own Sersic index.
+
+    Cached as numpy (never as a jnp array: a device constant created inside
+    a jit trace must not outlive it)."""
     grid = np.empty((len(SERSIC_N_GRID), n_u), np.float32)
     # Avoid u=1 (infinite radius): cap at 0.9999 quantile.
     u = np.linspace(0.0, 0.9999, n_u)
@@ -244,7 +247,7 @@ def sersic_cdf_grid(n_u: int = 1024):
         b = _sersic_b(n)
         g = special.gammaincinv(2 * n, u)
         grid[i] = (g / b) ** n
-    return jnp.asarray(grid)
+    return grid
 
 
 # ----------------------------------------------------------------------------
@@ -282,7 +285,7 @@ def sample_sersic(key, n, sersic_n, hlr, grid=None, dtype=jnp.float32):
     """Shoot from a circular Sersic profile; sersic_n/hlr may be per-photon
     arrays (pooled multi-object batches)."""
     if grid is None:
-        grid = sersic_cdf_grid()
+        grid = jnp.asarray(sersic_cdf_grid())
     ku, kt = jax.random.split(key)
     u = jax.random.uniform(ku, (n,), dtype, 0.0, 1.0)
     n_u = grid.shape[1]

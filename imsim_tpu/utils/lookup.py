@@ -27,12 +27,13 @@ class UniformTable:
 
     def __call__(self, x):
         x = jnp.asarray(x)
+        y = jnp.asarray(self.y)  # no-op for jnp; safe for numpy-backed tables
         f = (x - self.x0) / self.dx
-        n = self.y.shape[0]
+        n = y.shape[0]
         f = jnp.clip(f, 0.0, n - 1.000001)
         i = jnp.floor(f).astype(jnp.int32)
-        w = (f - i).astype(self.y.dtype)
-        return self.y[i] * (1 - w) + self.y[i + 1] * w
+        w = (f - i).astype(y.dtype)
+        return y[i] * (1 - w) + y[i + 1] * w
 
     @property
     def x_max(self):
@@ -80,4 +81,4 @@ def inverse_cdf_table(pdf_x, pdf_y, n=2048, dtype=jnp.float32):
     # np.interp needs strictly increasing cdf; collapse flat spots
     eps = np.arange(len(cdf)) * 1e-15
     xi = np.interp(u, cdf + eps, x)
-    return UniformTable(0.0, 1.0 / (n - 1), jnp.asarray(xi, dtype))
+    return UniformTable(0.0, 1.0 / (n - 1), np.asarray(xi, dtype))

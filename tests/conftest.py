@@ -1,15 +1,18 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+"""Test configuration: force an 8-device virtual CPU mesh before any JAX
+computation (the axon TPU plugin otherwise preempts JAX_PLATFORMS=cpu).
 
-Tests exercise the multi-chip sharding paths (shard_map over a Mesh) without
-real TPU hardware, mirroring the driver's dryrun_multichip validation.
+Tests exercise the multi-chip sharding paths (shard_map over a Mesh)
+without real TPU hardware, mirroring the driver's dryrun_multichip
+validation.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax  # noqa: E402, F401
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
