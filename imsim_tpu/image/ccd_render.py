@@ -48,18 +48,27 @@ def _render_batch(key, image, scene, obj_idx, weight, kolm_table,
     return accumulate(photons, image)
 
 
-@partial(jax.jit, static_argnames=("pixel_scale",))
+@partial(jax.jit, static_argnames=("pixel_scale", "exact_poisson"))
 def _add_sky_and_noise(key, image, sky_per_arcsec2, gradient_abc,
-                       vignet_img, pixel_scale):
+                       vignet_img, pixel_scale, exact_poisson=False):
     """Sky level (+ plane gradient + vignetting) with Poisson noise,
-    mirroring imsim/lsst_image.py:128-200. Returns image in electrons."""
+    mirroring imsim/lsst_image.py:128-200. Returns image in electrons.
+
+    exact_poisson=False uses the Gaussian approximation (indistinguishable
+    above ~30 e-/pixel, which any real sky exceeds); exact sampling is kept
+    for very dark simulations."""
     H, W = image.shape
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
     a, b, c = gradient_abc
     grad = a * xx + b * yy + c
     sky = sky_per_arcsec2 * (pixel_scale ** 2) * grad * vignet_img
-    noisy_sky = poisson_approx(key, sky)
+    if exact_poisson:
+        noisy_sky = poisson_approx(key, sky)
+    else:
+        noisy_sky = jnp.round(
+            sky + jnp.sqrt(jnp.maximum(sky, 0.0))
+            * jax.random.normal(key, sky.shape, dtype=sky.dtype))
     return image + noisy_sky
 
 

@@ -1,0 +1,108 @@
+"""Silicon sensor model tests: absorption, diffusion, tree rings,
+brighter-fatter (the reference validates against GalSim's SiliconSensor;
+here we assert the physical signatures directly)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from imsim_tpu.photons.batch import PhotonBatch
+from imsim_tpu.sensor import silicon as si
+
+
+def _point_batch(n, x, y, wl=620.0, dxdz=0.0):
+    z = jnp.zeros((n,), jnp.float32)
+    return PhotonBatch(
+        x=jnp.full((n,), x, jnp.float32), y=jnp.full((n,), y, jnp.float32),
+        flux=jnp.ones((n,), jnp.float32),
+        wavelength=jnp.full((n,), wl, jnp.float32),
+        dxdz=jnp.full((n,), dxdz, jnp.float32), dydz=z,
+        pupil_u=z, pupil_v=z, time=z)
+
+
+def test_absorption_length_red_vs_blue():
+    t = si.absorption_length_table()
+    assert t(450.0) < 1.0       # blue absorbs in < 1 um
+    assert t(1000.0) > 80.0     # 1um light penetrates deep
+    assert t(1050.0) > 300.0
+
+
+def test_nir_photons_partially_lost():
+    params = si.SiliconParams.make()
+    ph = _point_batch(20000, 32.0, 32.0, wl=1050.0)
+    out = si.apply_silicon_displacements(jax.random.PRNGKey(0), ph, params)
+    # at ~400um absorption length through 100um silicon, ~22% convert
+    frac = float(out.flux.sum()) / 20000
+    assert 0.1 < frac < 0.4
+
+
+def test_diffusion_spreads_blue_more_than_red():
+    params = si.SiliconParams.make()
+    # blue converts at the surface -> full drift -> max diffusion
+    blue = si.apply_silicon_displacements(
+        jax.random.PRNGKey(1), _point_batch(20000, 32.0, 32.0, 450.0), params)
+    red = si.apply_silicon_displacements(
+        jax.random.PRNGKey(2), _point_batch(20000, 32.0, 32.0, 950.0), params)
+    sb = float(jnp.std(blue.x))
+    sr = float(jnp.std(red.x[red.flux > 0]))
+    assert sb > sr
+    # blue sigma ~ diffusion_um/pixel_um = 0.4 px
+    assert sb == pytest.approx(0.4, rel=0.15)
+
+
+def test_slope_displacement():
+    params = si.SiliconParams.make()
+    # NIR photons with a slope travel laterally before converting
+    ph = _point_batch(20000, 32.0, 32.0, wl=1000.0, dxdz=0.5)
+    out = si.apply_silicon_displacements(jax.random.PRNGKey(3), ph, params)
+    alive = out.flux > 0
+    mean_dx = float(jnp.mean(out.x[alive])) - 32.0
+    # mean conversion depth for alive photons ~ l_abs truncated at 100um;
+    # displacement = 0.5 * depth / 10um-per-px > 1 px
+    assert mean_dx > 1.0
+
+
+def test_treering_displacement():
+    prof = np.full(2048, 0.5, np.float32)  # constant 0.5 px outward shift
+    params = si.SiliconParams.make(treering_center=(0.0, 0.0),
+                                   treering_profile=prof)
+    ph = _point_batch(1000, 100.0, 0.0, wl=620.0)
+    out = si.apply_silicon_displacements(jax.random.PRNGKey(4), ph, params)
+    assert float(jnp.mean(out.x)) == pytest.approx(100.5, abs=0.05)
+
+
+def test_brighter_fatter_grows_spots():
+    params = si.SiliconParams.make(bf_strength=1.1)
+    H = W = 64
+    n = 200_000
+
+    def render(flux_scale):
+        key = jax.random.PRNGKey(5)
+        ph = _point_batch(n, 32.0, 32.0, wl=620.0)
+        # gaussian spot sigma 1.2 px
+        g = jax.random.normal(jax.random.PRNGKey(6), (n, 2)) * 1.2
+        ph = ph.replace(x=ph.x + g[:, 0], y=ph.y + g[:, 1],
+                        flux=ph.flux * flux_scale)
+        img = jnp.zeros((H, W), jnp.float32)
+        img = si.accumulate_silicon(key, ph, img, params, nsub=4)
+        a = np.asarray(img)
+        yy, xx = np.mgrid[:H, :W]
+        tot = a.sum()
+        cx = (a * xx).sum() / tot
+        cy = (a * yy).sum() / tot
+        return np.sqrt(((a * ((xx - cx) ** 2 + (yy - cy) ** 2)).sum()
+                        / tot) / 2)
+
+    s_faint = render(0.01)   # 2k e- total
+    s_bright = render(1.0)   # 200k e- total
+    # brighter spot must be measurably fatter
+    assert s_bright > s_faint * 1.005
+
+
+def test_accumulate_silicon_conserves_live_flux():
+    params = si.SiliconParams.make()
+    ph = _point_batch(50_000, 16.0, 16.0, wl=620.0)
+    img = si.accumulate_silicon(jax.random.PRNGKey(7), ph,
+                                jnp.zeros((32, 32), jnp.float32), params)
+    # 620nm: l_abs ~ 3um << 100um, everything converts; all flux lands
+    assert float(img.sum()) == pytest.approx(50_000, rel=0.01)
