@@ -173,13 +173,14 @@ def second_kick_cdf(lam_nm: float, r0_m: float, diam_m: float = 8.36,
     """Inverse CDF (arcsec) for the atmospheric "second kick":
     diffraction (obscured Airy) plus the high-k tail of the von Karman
     turbulence that the finite-resolution phase screens cannot carry
-    (split at kcrit*2pi/r0 [rad/m], mirroring imsim/atmPSF.py:164-205).
+    (split at kcrit/r0 [rad/m], GalSim kcrit units, cf.
+    imsim/atmPSF.py:164-205).
 
     T_2k(k) = T_airy(k) * exp(-[D_full(rho) - D_lowk(rho)]/2), rho = lam k/2pi.
     """
     lam = lam_nm * 1e-9
     arcsec = np.pi / 180.0 / 3600.0
-    kc = kcrit * 2 * np.pi / r0_m  # rad/m spatial frequency split
+    kc = kcrit / r0_m  # rad/m spatial frequency split (1/r0 units)
 
     kgrid = np.geomspace(1e-4, 1e4, 4096)
     Phi = vonkarman_phase_spectrum(kgrid, r0_m, L0_m)
