@@ -98,9 +98,12 @@ def _screen_spectrum_amplitude(n, scale, r0, L0, kcrit_rad):
     Phi = np.where(k <= kcrit_rad, Phi, 0.0)
     Phi[0, 0] = 0.0
     dk = 2 * np.pi / (n * scale)
-    # Var(screen) = sum Phi dk^2; with screen = Re(ifft2(xi * A)) * n^2 and
-    # xi = N(0,1) + i N(0,1): Var(Re) = sum |A|^2 -> A = sqrt(Phi) * dk
-    return np.sqrt(Phi) * dk
+    # Var(screen) = sum |A|^2 with screen = Re(ifft2(xi * A)) * n^2 and
+    # xi = N(0,1) + i N(0,1).  vonkarman_phase_spectrum is calibrated for
+    # D(rho) = 2 int (1-J0) Phi k dk; summing Phi dk^2 over the 2D k-plane
+    # gives 2*int(1-J0) Phi * 2pi k dk = 2pi x that, so divide by 2pi:
+    # A = sqrt(Phi / 2pi) * dk.
+    return np.sqrt(Phi / (2 * np.pi)) * dk
 
 
 def make_screens(seed: int, cfg: AtmConfig,
@@ -125,27 +128,36 @@ def make_screens(seed: int, cfg: AtmConfig,
     n = int(round(cfg.screen_size / cfg.screen_scale))
     kcrit_rad = cfg.kcrit / r0_500  # GalSim kcrit convention: 1/r0 units
 
-    grads = []
     lam500 = 500e-9
-    for i in range(cfg.nlayers):
-        A = jnp.asarray(_screen_spectrum_amplitude(
-            n, cfg.screen_scale, r0_layer[i], cfg.L0, kcrit_rad),
-            jnp.float32)
-        key = jax.random.PRNGKey(seed + 1000 * i)
+    A = jnp.asarray(np.stack([
+        _screen_spectrum_amplitude(n, cfg.screen_scale, r0_layer[i],
+                                   cfg.L0, kcrit_rad)
+        for i in range(cfg.nlayers)]), jnp.float32)
+    keys = jnp.stack([jax.random.PRNGKey(seed + 1000 * i)
+                      for i in range(cfg.nlayers)])
+    grad = _synthesize_screens(keys, A, cfg.screen_scale,
+                               lam500 / (2 * np.pi))
+    return AtmScreens(grad=grad, winds=jnp.asarray(winds, jnp.float32),
+                      scale=cfg.screen_scale, size=cfg.screen_size)
+
+
+@jax.jit
+def _synthesize_screens(keys, A, scale, opd_per_rad):
+    """All layers in one compiled program: FFT of filtered complex noise
+    -> OPD gradient fields (L, n, n, 2)."""
+    def one(key, Ai):
+        n = Ai.shape[0]
         k1, k2 = jax.random.split(key)
         noise = (jax.random.normal(k1, (n, n))
                  + 1j * jax.random.normal(k2, (n, n)))
-        phase = jnp.real(jnp.fft.ifft2(noise * A)) * (n * n)  # rad @500nm
-        # deflection = grad(OPD) = (lam/2pi) grad(phase)  [rad], achromatic
-        opd = phase * (lam500 / (2 * np.pi))
-        gx = (jnp.roll(opd, -1, 1) - jnp.roll(opd, 1, 1)) \
-            / (2 * cfg.screen_scale)
-        gy = (jnp.roll(opd, -1, 0) - jnp.roll(opd, 1, 0)) \
-            / (2 * cfg.screen_scale)
-        grads.append(jnp.stack([gx, gy], axis=-1))
-    return AtmScreens(grad=jnp.stack(grads), winds=jnp.asarray(winds,
-                                                               jnp.float32),
-                      scale=cfg.screen_scale, size=cfg.screen_size)
+        phase = jnp.real(jnp.fft.ifft2(noise * Ai)) * (n * n)  # rad @500nm
+        # deflection = grad(OPD) = (lam/2pi) grad(phase) [rad], achromatic
+        opd = phase * opd_per_rad
+        gx = (jnp.roll(opd, -1, 1) - jnp.roll(opd, 1, 1)) / (2 * scale)
+        gy = (jnp.roll(opd, -1, 0) - jnp.roll(opd, 1, 0)) / (2 * scale)
+        return jnp.stack([gx, gy], axis=-1)
+
+    return jax.vmap(one)(keys, A)
 
 
 def first_kick(photons: PhotonBatch, screens: AtmScreens,
