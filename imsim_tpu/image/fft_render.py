@@ -1,0 +1,215 @@
+"""FFT stamp rendering for bright objects — the reference's FFT branch
+(imsim/stamp.py:482-525 draw fft; imsim/psf_utils.py:94-239
+make_fft_psf/get_fft_psf_maybe) re-designed for TPU:
+
+  * profiles are defined by their isotropic MTF T(k): Sersic Hankel
+    tables and the analytic von Karman / obscured-Airy / Gaussian
+    transforms, built once on host as radial tables;
+  * a stamp is ONE fused device program: radial-gather of T(k) over the
+    2D k-grid (ellipticity = anisotropic k scaling), phase ramp for
+    subpixel centering, irfft2, flux scale — batched over all FFT
+    objects of the same bucketed stamp size (XLA batches the FFTs on
+    the MXU);
+  * the FFT-vs-photon switch (get_fft_psf_maybe :152-239) triggers on
+    predicted peak surface brightness > fft_sb_thresh, evaluated from
+    the same tables.
+
+The atmospheric-screen PSF is swapped for its analytic expectation
+(VonKarman x Airy), exactly the reference's substitution
+(psf_utils.py:94-149: PhaseScreenPSF -> VonKarman, SecondKick -> Airy).
+"""
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import numpy as np
+from scipy import special
+
+import jax
+import jax.numpy as jnp
+
+from ..photons import profiles as P
+from ..utils.lookup import UniformTable
+
+STAMP_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+# ---------------------------------------------------------------------------
+# Host: radial MTF tables
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def sersic_mtf_table(n_sersic: float, n_k: int = 1024, k_max: float = 120.0):
+    """T(k) of a circular Sersic profile with half-light radius 1:
+    Hankel transform T(k) = int 2 pi r I(r) J0(k r) dr / flux."""
+    b = special.gammaincinv(2 * n_sersic, 0.5)
+    # radial grid out to where enclosed flux ~ 1-1e-6
+    r = np.geomspace(1e-4, 50.0, 2048)
+    I = np.exp(-b * (r ** (1.0 / n_sersic) - 1.0))
+    w = 2 * np.pi * r * I
+    k = np.linspace(0.0, k_max, n_k)
+    J = special.j0(np.outer(k, r))
+    T = np.trapezoid(J * w[None, :], r, axis=1)
+    T /= T[0]
+    return UniformTable(0.0, k_max / (n_k - 1), T.astype(np.float32))
+
+
+@functools.lru_cache(maxsize=32)
+def vonkarman_mtf_table(lam_nm: float, r0_m: float, L0_m: float = 25.0,
+                        n_k: int = 1024):
+    """T(k) of the von Karman seeing profile; k in rad/arcsec."""
+    arcsec = np.pi / 180 / 3600
+    lam = lam_nm * 1e-9
+    rho = np.geomspace(1e-4, 30.0, 512)
+    D = P.vonkarman_structure(rho, r0_m, L0_m)
+    fwhm = 0.9758834 * lam / r0_m / arcsec
+    k = np.linspace(0.0, 60.0 / fwhm, n_k)    # rad/arcsec
+    rr = lam * (k / arcsec) / (2 * np.pi)
+    T = np.exp(-0.5 * np.interp(rr, rho, D, left=0.0))
+    return UniformTable(0.0, k[-1] / (n_k - 1), T.astype(np.float32))
+
+
+@functools.lru_cache(maxsize=32)
+def airy_mtf_table(lam_nm: float, diam_m: float = 8.36,
+                   obscuration: float = 0.612, n_k: int = 1024):
+    """Annular-pupil MTF; k in rad/arcsec."""
+    arcsec = np.pi / 180 / 3600
+    lam = lam_nm * 1e-9
+    n = 512
+    x = np.linspace(-1, 1, n)
+    X, Y = np.meshgrid(x, x)
+    R = np.hypot(X, Y)
+    pupil = ((R <= 1.0) & (R >= obscuration)).astype(float)
+    ac = np.fft.fftshift(np.fft.irfft2(
+        np.abs(np.fft.rfft2(pupil)) ** 2, s=pupil.shape))
+    ac /= ac.max()
+    cy = n // 2
+    prof_r = np.hypot(*np.meshgrid(np.arange(n) - cy, np.arange(n) - cy))
+    nbin = 256
+    idx = np.minimum((prof_r / (n / 2) * nbin).astype(int), 2 * nbin)
+    Tr = np.bincount(idx.ravel(), ac.ravel(), minlength=2 * nbin + 1) \
+        / np.maximum(np.bincount(idx.ravel(), minlength=2 * nbin + 1), 1)
+    nu = np.arange(2 * nbin + 1) / (2 * nbin) * (diam_m / lam)  # cyc/rad
+    k_cut = 2 * np.pi * (diam_m / lam) * arcsec                 # rad/arcsec
+    k = np.linspace(0.0, 1.05 * k_cut, n_k)
+    T = np.interp((k / arcsec) / (2 * np.pi), nu, Tr, right=0.0)
+    return UniformTable(0.0, k[-1] / (n_k - 1), T.astype(np.float32))
+
+
+def psf_mtf_table(lam_nm: float, r0_500: float, L0: float = 25.0,
+                  gauss_fwhm: float = 0.3, n_k: int = 2048):
+    """Combined analytic-PSF MTF: VonKarman x Airy x Gaussian
+    (the make_fft_psf composition, imsim/psf_utils.py:94-149)."""
+    r0 = r0_500 * (lam_nm / 500.0) ** 1.2
+    vk = vonkarman_mtf_table(lam_nm, r0, L0)
+    ai = airy_mtf_table(lam_nm)
+    sig = gauss_fwhm / 2.3548200450309493
+    k_max = vk.x_max
+    k = np.linspace(0.0, k_max, n_k)
+    T = (np.interp(k, vk.x0 + np.arange(len(vk.y)) * vk.dx, np.asarray(vk.y))
+         * np.interp(k, ai.x0 + np.arange(len(ai.y)) * ai.dx,
+                     np.asarray(ai.y), right=0.0)
+         * np.exp(-0.5 * (sig * k) ** 2))
+    return UniformTable(0.0, k_max / (n_k - 1), T.astype(np.float32))
+
+
+def combined_mtf_table(psf_table: UniformTable, gal_table=None,
+                       gal_scale=1.0, n_k: int = 2048):
+    """PSF (x) galaxy: multiply MTFs; galaxy k-axis scaled by its hlr."""
+    k = np.linspace(0.0, psf_table.x_max, n_k)
+    T = np.interp(k, psf_table.x0 + np.arange(len(psf_table.y))
+                  * psf_table.dx, np.asarray(psf_table.y), right=0.0)
+    if gal_table is not None:
+        kg = k * gal_scale
+        T = T * np.interp(kg, gal_table.x0 + np.arange(len(gal_table.y))
+                          * gal_table.dx, np.asarray(gal_table.y),
+                          right=0.0)
+    return UniformTable(0.0, psf_table.x_max / (n_k - 1),
+                        T.astype(np.float32))
+
+
+def peak_surface_brightness(flux, mtf: UniformTable, pixel_scale=0.2):
+    """Predicted peak pixel value [e-]: flux/(2 pi) int T(k) k dk x px^2
+    (the fft_sb_thresh trigger of imsim/psf_utils.py:152-239)."""
+    k = mtf.x0 + np.arange(len(mtf.y)) * mtf.dx
+    central = np.trapezoid(np.asarray(mtf.y) * k, k) / (2 * np.pi)
+    return flux * central * pixel_scale**2
+
+
+# ---------------------------------------------------------------------------
+# Device: batched stamp synthesis
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("N",))
+def render_fft_stamps(mtf_y, mtf_dx, flux, q, beta, sub_dx, sub_dy,
+                      N: int, pixel_scale: float = 0.2):
+    """Batch of B stamps (B, N, N) from radial MTF tables.
+
+    mtf_y: (B, K) radial T(k) per object (k uniform, step mtf_dx, rad/asec)
+    q, beta: ellipticity applied in k-space (area-preserving)
+    sub_dx/dy: subpixel center offsets [pixels]
+    """
+    B, K = mtf_y.shape
+    # irfft2 output axes: (-2) = image rows = y, (-1) = image cols = x
+    ky = jnp.fft.fftfreq(N, d=pixel_scale) * 2 * jnp.pi      # rad/arcsec
+    kx = jnp.fft.rfftfreq(N, d=pixel_scale) * 2 * jnp.pi
+    KY, KX = jnp.meshgrid(ky, kx, indexing="ij")             # (N, N//2+1)
+
+    def one(Ty, dxk, f, qq, bb, sx, sy):
+        c, s = jnp.cos(bb), jnp.sin(bb)
+        # rotate then anisotropic scale (inverse of real-space stretch)
+        kx_r = c * KX + s * KY
+        ky_r = -s * KX + c * KY
+        sq = jnp.sqrt(qq)
+        kr = jnp.hypot(kx_r * sq, ky_r / sq)
+        fidx = jnp.clip(kr / dxk, 0.0, K - 1.000001)
+        i0 = jnp.floor(fidx).astype(jnp.int32)
+        w = fidx - i0
+        T = Ty[i0] * (1 - w) + Ty[i0 + 1] * w
+        phase = jnp.exp(-1j * (KX * sx + KY * sy) * pixel_scale)
+        return T * phase * f
+
+    F = jax.vmap(one)(mtf_y, mtf_dx, flux, q, beta, sub_dx, sub_dy)
+    img = jnp.fft.irfft2(F, s=(N, N), axes=(-2, -1))
+    # center the PSF at N//2 (fftshift via roll)
+    img = jnp.roll(img, (N // 2, N // 2), axis=(-2, -1))
+    return img
+
+
+def stamp_bucket(flux, mtf: UniformTable, pixel_scale=0.2,
+                 folding_threshold=5e-3, nmax=4096):
+    """Pick the bucketed stamp size capturing the profile wings — the
+    stamp-sizing role of imsim/stamp_utils.py:79-155, computed from the
+    same table: find r where the cumulative profile reaches
+    1 - folding_threshold via the real-space profile FT."""
+    # cheap proxy: effective FWHM from MTF half-power point
+    k = mtf.x0 + np.arange(len(mtf.y)) * mtf.dx
+    y = np.asarray(mtf.y)
+    k_half = np.interp(0.5, y[::-1], k[::-1])
+    fwhm_as = 2.0 / max(k_half, 1e-6) * 2.355 / 2.0
+    # wings: Kolmogorov-like growth with flux (stamp must hold the flux
+    # above ~folding_threshold of sky sigma); scale like reference's
+    # e-folding quantization
+    r_as = fwhm_as * (1.5 + 0.4 * np.log10(max(flux, 1.0)))
+    n = int(2 * r_as / pixel_scale)
+    for b in STAMP_BUCKETS:
+        if n <= b:
+            return b
+    return nmax
+
+
+def add_stamp(image, stamp, x0: int, y0: int):
+    """Add a stamp into the full image at integer corner (device),
+    clipping at the edges via dynamic_update_slice on a padded image."""
+    N = stamp.shape[-1]
+    H, W = image.shape
+    pad = N
+    padded = jnp.pad(image, pad)
+    padded = jax.lax.dynamic_update_slice(
+        padded,
+        jax.lax.dynamic_slice(padded, (y0 + pad, x0 + pad), (N, N)) + stamp,
+        (y0 + pad, x0 + pad))
+    return padded[pad:pad + H, pad:pad + W]

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..catalog.instcat import SERSIC, KNOTS, STREAK
 from ..photons import profiles as P
@@ -185,3 +186,66 @@ def shoot(key, scene: DeviceScene, obj_idx: jax.Array, weight: jax.Array,
     z = jnp.zeros((n,), jnp.float32)
     return PhotonBatch(x=x, y=y, flux=weight, wavelength=wl,
                        dxdz=z, dydz=z, pupil_u=pu, pupil_v=pv, time=t)
+
+
+def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
+               weight: jax.Array, tel, ctx, screens=None, sk_table=None,
+               exptime: float = 30.0, pupil_radius: float = 4.18,
+               pupil_obscuration: float = 0.612) -> PhotonBatch:
+    """Full physics chain for a pooled batch: the per-photon equivalent of
+    the reference's photon_ops pipeline (imsim/stamp.py:527-573 with
+    config/imsim-config.yaml:281-320):
+
+        object field angle (COL_X/COL_Y in *radians*, optics scene)
+        + intrinsic profile offset (+ lensing)          [sample_intrinsic]
+        + atmospheric first kick (phase screens)        [psf.atmosphere]
+        + second kick (high-k turbulence + diffraction) [sk_table]
+        + DCR + spider diffraction + raytrace + silicon refraction
+                                                        [photons.optics_ops]
+
+    Returns a PhotonBatch in *detector pixel* coordinates with in-silicon
+    slopes, ready for the (silicon) sensor accumulate.
+    """
+    from ..photons.optics_ops import field_to_sensor
+    from ..psf.atmosphere import first_kick_angles
+
+    arcsec = jnp.float32(np.pi / 180 / 3600)
+    n = obj_idx.shape[0]
+    keys = jax.random.split(key, 8)
+
+    row = scene.params[obj_idx]
+    thx = row[:, COL_X]
+    thy = row[:, COL_Y]
+
+    # intrinsic + lensing offsets in arcsec (pixel_scale=1 -> arcsec)
+    dx_as, dy_as = sample_intrinsic(keys[0], row, obj_idx, pixel_scale=1.0)
+    thx = thx + dx_as * arcsec
+    thy = thy + dy_as * arcsec
+
+    # wavelength, pupil, time sampling
+    u = jax.random.uniform(keys[1], (n,))
+    wl = _interp_rows(scene.wl_icdf, obj_idx, u)
+    u1, u2 = jax.random.uniform(keys[2], (2, n))
+    r = jnp.sqrt(pupil_obscuration**2 * pupil_radius**2
+                 + u1 * (1 - pupil_obscuration**2) * pupil_radius**2)
+    a = u2 * 2 * jnp.pi
+    pu = r * jnp.cos(a)
+    pv = r * jnp.sin(a)
+    t = jax.random.uniform(keys[3], (n,)) * exptime
+
+    # atmosphere: first kick (screens) + isotropic second kick
+    if screens is not None:
+        ddx, ddy = first_kick_angles(pu, pv, t, screens,
+                                     theta_x=thx, theta_y=thy)
+        thx = thx + ddx
+        thy = thy + ddy
+    if sk_table is not None:
+        skx, sky = P.sample_radial(keys[4], n, sk_table)  # arcsec
+        thx = thx + skx * arcsec
+        thy = thy + sky * arcsec
+
+    x_pix, y_pix, dxdz, dydz, flux = field_to_sensor(
+        keys[5], tel, ctx, thx, thy, pu, pv, wl, t, weight)
+    return PhotonBatch(x=x_pix, y=y_pix, flux=flux, wavelength=wl,
+                       dxdz=dxdz, dydz=dydz, pupil_u=pu, pupil_v=pv,
+                       time=t)

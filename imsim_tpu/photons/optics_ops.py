@@ -1,0 +1,143 @@
+"""Device photon ops: DCR, spider diffraction, optics raytrace, silicon
+refraction — the pooled-batch replacements for the reference's photon-op
+chain (config/imsim-config.yaml:281-320: TimeSampler, PupilAnnulusSampler,
+PhotonDCR, RubinDiffractionOptics, FocusDepth, Refraction; classes in
+imsim/photon_ops.py).
+
+Design: each op is a pure jnp function over (N,) arrays; the whole chain
+composes under ONE jit per photon batch (`field_to_sensor`), tracing
+every photon through the real telescope (optics.trace f32) — the batoid
+C++ per-photon trace of imsim/photon_ops.py:109-124 without leaving the
+device.  FocusDepth is inherent here: the trace lands on the per-detector
+detector surface directly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..optics import geometry as G
+from ..optics.trace import rays_from_field, trace
+from . import diffraction as D
+
+ARCSEC = np.pi / 180 / 3600
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class OpticsContext:
+    """Per-visit scalars the device chain needs (all jnp 0-d or python
+    floats via aux). Built host-side once per CCD by
+    `make_optics_context`."""
+
+    bore_alt: jax.Array       # observed boresight altitude [rad]
+    bore_az: jax.Array
+    crot: jax.Array           # cos/sin rotTelPos (field <-> alt-az frames)
+    srot: jax.Array
+    k1_ref: jax.Array         # refraction coefs at the WCS wavelength
+    k2_ref: jax.Array
+    det_cx_mm: jax.Array      # detector center in focal plane
+    det_cy_mm: jax.Array
+    det_nx: int
+    det_ny: int
+    latitude: float
+    pressure_kpa: float
+    temperature_k: float
+    h2o_kpa: float
+
+    def tree_flatten(self):
+        return ((self.bore_alt, self.bore_az, self.crot, self.srot,
+                 self.k1_ref, self.k2_ref, self.det_cx_mm, self.det_cy_mm),
+                (self.det_nx, self.det_ny, self.latitude,
+                 self.pressure_kpa, self.temperature_k, self.h2o_kpa))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def make_optics_context(wcs_factory, ccd) -> OpticsContext:
+    obs = wcs_factory.obs
+    # k1_ref/k2_ref MUST use the same weather the Observation used, or a
+    # spurious constant refraction offset leaks into every photon.
+    f = jnp.float32
+    return OpticsContext(
+        bore_alt=f(obs.bore_alt), bore_az=f(obs.bore_az),
+        crot=f(np.cos(wcs_factory.telescope.rotTelPos)),
+        srot=f(np.sin(wcs_factory.telescope.rotTelPos)),
+        k1_ref=f(obs.k1), k2_ref=f(obs.k2),
+        det_cx_mm=f(ccd.center_mm[0]), det_cy_mm=f(ccd.center_mm[1]),
+        det_nx=ccd.bounds.width, det_ny=ccd.bounds.height,
+        latitude=float(obs.lat), pressure_kpa=float(obs.pressure_kpa),
+        temperature_k=float(obs.temperature_k),
+        h2o_kpa=float(obs.h2o_pressure_kpa))
+
+
+def dcr_kick(ctx: OpticsContext, thx, thy, wavelength_nm):
+    """Differential chromatic refraction as a field-angle kick
+    (PhotonDCR equivalent, config/imsim-config.yaml:288-296; the
+    reference evaluates the same Edlen index difference in GalSim C++).
+
+    The WCS (and therefore the object's nominal field angle) includes
+    refraction at the band's reference wavelength; each photon gets the
+    *differential* altitude shift R(lambda) - R(lambda_ref), applied
+    zenith-ward (the +v axis of the alt-az field frame)."""
+    # alt-az frame v component of this photon
+    v = ctx.srot * thx + ctx.crot * thy
+    alt = ctx.bore_alt + v
+    xi = G.air_index_excess(jnp, wavelength_nm, ctx.pressure_kpa,
+                            ctx.temperature_k, ctx.h2o_kpa)
+    beta = 0.001254
+    k1 = xi * (1.0 - beta)
+    k2 = -xi * (beta + xi * 0.5)
+    tz = jnp.tan(jnp.clip(0.5 * jnp.pi - alt, 0.0, 1.5))
+    dalt = (k1 - ctx.k1_ref) * tz + (k2 - ctx.k2_ref) * tz**3
+    return thx + ctx.srot * dalt, thy + ctx.crot * dalt
+
+
+def silicon_refraction(vx, vy, vz, wavelength_nm):
+    """Refract exit-ray slopes into the silicon (the `Refraction`
+    photon op with silicon index, config/imsim-config.yaml:312-316).
+    n_Si from a 2-term fit over 300-1100 nm."""
+    w = wavelength_nm * 1e-3
+    n_si = 3.5 + 0.4 / (w * w)   # ~3.9 @ 500nm -> 3.57 @ 1000nm
+    inv = 1.0 / n_si
+    tx = vx * inv
+    ty = vy * inv
+    tz = jnp.sqrt(jnp.maximum(1.0 - tx * tx - ty * ty, 1e-6))
+    return tx / tz, ty / tz      # slopes dx/dz, dy/dz inside silicon
+
+
+def field_to_sensor(key, tel, ctx: OpticsContext, thx, thy, pupil_u,
+                    pupil_v, wavelength_nm, time_s, flux,
+                    apply_dcr=True, apply_diffraction=True):
+    """The fused RubinDiffractionOptics(+DCR+Refraction) chain: field
+    angles -> detector pixels + in-silicon slopes.  Returns
+    (x_pix, y_pix, dxdz, dydz, flux) with vignetted flux zeroed."""
+    if apply_dcr:
+        thx, thy = dcr_kick(ctx, thx, thy, wavelength_nm)
+    if apply_diffraction:
+        # spider diffraction kicks the arrival *angle*; equal in the
+        # slope and field-angle domains to first order
+        dthx, dthy = jnp.zeros_like(thx), jnp.zeros_like(thy)
+        dthx, dthy = D.apply_diffraction(
+            key, pupil_u, pupil_v, dthx, dthy, wavelength_nm,
+            t=time_s, latitude=ctx.latitude,
+            altitude=ctx.bore_alt, azimuth=ctx.bore_az)
+        thx = thx + dthx
+        thy = thy + dthy
+
+    px, py, pz, vx, vy, vz = rays_from_field(jnp, thx, thy, pupil_u,
+                                             pupil_v)
+    out = trace(tel, px, py, pz, vx, vy, vz, wavelength_nm, jnp)
+    flux = jnp.where(out["vignette"], 0.0, flux)
+    x_pix = (out["x"] * 1e3 - ctx.det_cx_mm) * 100.0 + (ctx.det_nx - 1) / 2.0
+    y_pix = (out["y"] * 1e3 - ctx.det_cy_mm) * 100.0 + (ctx.det_ny - 1) / 2.0
+    dxdz, dydz = silicon_refraction(out["vx"], out["vy"], out["vz"],
+                                    wavelength_nm)
+    return x_pix, y_pix, dxdz, dydz, flux

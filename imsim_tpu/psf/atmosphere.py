@@ -160,37 +160,40 @@ def _synthesize_screens(keys, A, scale, opd_per_rad):
     return jax.vmap(one)(keys, A)
 
 
-def first_kick(photons: PhotonBatch, screens: AtmScreens,
-               pixel_scale: float = 0.2,
-               theta_x: float = 0.0, theta_y: float = 0.0) -> PhotonBatch:
-    """Apply the geometric phase-screen deflection to every photon:
+def first_kick_angles(pupil_u, pupil_v, time, screens: AtmScreens,
+                      theta_x=0.0, theta_y=0.0):
+    """Geometric phase-screen deflection [radians] for every photon:
     for each layer, look up grad(OPD) at the wind-advected pupil position
-    (+ the field-angle offset theta * altitude for off-axis objects) and
-    deflect. Nearest-texel sampling (screens are smooth at the 0.4 m
-    scale). Deflections are achromatic OPD gradients."""
+    (+ the field-angle offset theta * altitude for off-axis objects).
+    Nearest-texel sampling (screens are smooth at the 0.4 m scale);
+    deflections are achromatic OPD gradients.  theta_* may be scalars or
+    per-photon arrays (pooled multi-object batches)."""
     n_tex = screens.grad.shape[1]
     L = screens.grad.shape[0]
-    arcsec = np.pi / 180 / 3600
-
-    x = photons.x
-    y = photons.y
-    ddx = jnp.zeros_like(photons.pupil_u)
-    ddy = jnp.zeros_like(photons.pupil_v)
+    ddx = jnp.zeros_like(pupil_u)
+    ddy = jnp.zeros_like(pupil_v)
     flat = screens.grad.reshape(L, n_tex * n_tex, 2)
     for i in range(L):
         alt_m = LAYER_ALTITUDES_KM[i] * 1000.0
-        px = (photons.pupil_u + screens.winds[i, 0] * photons.time
-              + theta_x * alt_m)
-        py = (photons.pupil_v + screens.winds[i, 1] * photons.time
-              + theta_y * alt_m)
+        px = pupil_u + screens.winds[i, 0] * time + theta_x * alt_m
+        py = pupil_v + screens.winds[i, 1] * time + theta_y * alt_m
         ix = jnp.round(px / screens.scale).astype(jnp.int32) % n_tex
         iy = jnp.round(py / screens.scale).astype(jnp.int32) % n_tex
         g = flat[i][iy * n_tex + ix]        # (N, 2) row gather
         ddx = ddx + g[:, 0]
         ddy = ddy + g[:, 1]
-    # radians -> pixels
-    return photons.replace(x=x + ddx / arcsec / pixel_scale,
-                           y=y + ddy / arcsec / pixel_scale)
+    return ddx, ddy
+
+
+def first_kick(photons: PhotonBatch, screens: AtmScreens,
+               pixel_scale: float = 0.2,
+               theta_x: float = 0.0, theta_y: float = 0.0) -> PhotonBatch:
+    """Image-domain wrapper: deflect photon pixel positions."""
+    arcsec = np.pi / 180 / 3600
+    ddx, ddy = first_kick_angles(photons.pupil_u, photons.pupil_v,
+                                 photons.time, screens, theta_x, theta_y)
+    return photons.replace(x=photons.x + ddx / arcsec / pixel_scale,
+                           y=photons.y + ddy / arcsec / pixel_scale)
 
 
 def second_kick_table(cfg: AtmConfig, lam_nm: float, diam=8.36,

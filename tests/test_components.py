@@ -1,0 +1,207 @@
+"""Tests for opsim metadata, checkpointing, tree rings, cosmic rays,
+FFT stamps, photon pooling, and OPD diagnostics (reference analogs:
+tests/test_opsim*, test_checkpoint*, test_tree_rings, test_cosmic_rays,
+test_photon_pooling, test_opd)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from imsim_tpu.catalog import opsim
+from imsim_tpu.image import fft_render as F
+from imsim_tpu.image.cosmic_rays import (CosmicRayCatalog,
+                                         paint_cosmic_rays)
+from imsim_tpu.image.photon_pooling import (FAINT, FFT, PHOT,
+                                            PoolingConfig,
+                                            classify_objects,
+                                            make_strided_batches,
+                                            render_ccd_pooled)
+from imsim_tpu.image.scene import DeviceScene, SceneHost, WL_CDF_K
+from imsim_tpu.io.checkpoint import Checkpointer
+from imsim_tpu.sensor.treerings import TreeRings
+
+
+def test_opsim_from_dict_derivations():
+    data = opsim.from_dict(dict(fieldRA=30.0, fieldDec=-30.24,
+                                observationStartMJD=60674.2, band="r",
+                                rawSeeing=0.7, exptime=30.0,
+                                observationId=12345))
+    assert data["airmass"] >= 1.0
+    assert -12.0 <= data["HA"] <= 12.0
+    assert 0.5 < data["FWHMeff"] < 2.5
+    assert data["FWHMgeom"] < data["FWHMeff"]
+    assert abs(data["mjd_mid"] - 60674.2 - 15.0 / 86400) < 1e-9
+
+
+def test_opsim_instcat_header(tmp_path):
+    p = tmp_path / "cat.txt"
+    p.write_text("rightascension 31.11\ndeclination -10.0\n"
+                 "mjd 59580.14\nfilter 2\nseeing 0.81\nvistime 30.0\n"
+                 "rotskypos 12.0\nobshistid 161899\n"
+                 "object 1 31.1 -10.0 25 flatSED/sed_flat.txt.gz 0 0 0 0 "
+                 "0 0 point none none\n")
+    d = opsim.read_instcat_header(str(p))
+    assert d["band"] == "r"
+    assert d["fieldRA"] == 31.11
+    assert d["rotSkyPos"] == 12.0
+    assert d["observationId"] == 161899
+
+
+def test_checkpointer_roundtrip_and_recovery(tmp_path):
+    f = str(tmp_path / "ckpt.h5")
+    ck = Checkpointer(f)
+    ck.save("a", {"x": np.arange(5), "n": 3})
+    ck.save("b", "hello")
+    assert Checkpointer(f).load("a")["n"] == 3
+    assert Checkpointer(f).load("b") == "hello"
+    assert Checkpointer(f).load("missing") is None
+    assert set(Checkpointer(f).names()) == {"a", "b"}
+    # crash between writing _new and the renames: _new wins on recovery
+    ck.save("b", "old")
+    import h5py
+    with h5py.File(f + "_new", "w") as fn:
+        fn.create_dataset("b", data=np.frombuffer(
+            __import__("pickle").dumps("recovered"), np.uint8))
+    ck2 = Checkpointer(f)
+    assert ck2.load("b") == "recovered"
+    assert not os.path.exists(f + "_new")
+
+
+def test_tree_rings_deterministic_and_scaled():
+    tr = TreeRings()
+    m1 = tr.get("R22_S11")
+    m2 = TreeRings().get("R22_S11")
+    np.testing.assert_array_equal(m1.profile, m2.profile)
+    assert not np.array_equal(m1.profile, tr.get("R01_S00").profile)
+    # displacement amplitude ~ 0.02 px rms in the active region
+    rms = np.std(m1.profile[512:])
+    assert 0.005 < rms < 0.08
+    cx, cy = m1.center
+    assert not (0 <= cx <= 4096 and 0 <= cy <= 4096)  # center off-sensor
+
+
+def test_cosmic_rays_paint_and_io(tmp_path):
+    img = np.zeros((500, 500), np.float32)
+    out = paint_cosmic_rays(img, exptime=3000.0, seed=1)
+    assert out.sum() > 0
+    assert (out > 1000).sum() > 5          # bright CR pixels exist
+    cat = CosmicRayCatalog.synthesize(50, seed=1)
+    p = str(tmp_path / "crs.npz")
+    cat.save(p)
+    cat2 = CosmicRayCatalog.load(p)
+    assert len(cat2) == 50
+    np.testing.assert_allclose(cat.footprints[7][2], cat2.footprints[7][2])
+
+
+def test_fft_stamp_gaussian():
+    """A Gaussian MTF renders to a Gaussian stamp with the right flux,
+    width, and subpixel center."""
+    sigma_as = 0.8
+    k = np.linspace(0, 40.0, 512)
+    T = np.exp(-0.5 * (sigma_as * k) ** 2)
+    from imsim_tpu.utils.lookup import UniformTable
+    tab = UniformTable(0.0, k[1], T.astype(np.float32))
+    N = 128
+    img = F.render_fft_stamps(
+        jnp.asarray(T[None, :], jnp.float32),
+        jnp.full((1,), tab.dx, jnp.float32),
+        jnp.asarray([1000.0], jnp.float32),
+        jnp.asarray([1.0], jnp.float32), jnp.asarray([0.0], jnp.float32),
+        jnp.asarray([0.3], jnp.float32), jnp.asarray([0.0], jnp.float32),
+        N, 0.2)[0]
+    img = np.asarray(img)
+    assert abs(img.sum() - 1000.0) < 1.0
+    yy, xx = np.mgrid[:N, :N]
+    cx = (img * xx).sum() / img.sum()
+    cy = (img * yy).sum() / img.sum()
+    assert abs(cx - (N // 2 + 0.3)) < 0.02
+    assert abs(cy - N // 2) < 0.02
+    sig_px = np.sqrt((img * (xx - cx) ** 2).sum() / img.sum())
+    assert abs(sig_px - sigma_as / 0.2) < 0.1
+
+
+def _tiny_host(n_obj=20, img=256, bright=None, seed=0):
+    rng = np.random.default_rng(seed)
+    flux = rng.uniform(50, 4000, n_obj)
+    if bright is not None:
+        flux[0] = bright
+    wl = np.linspace(550.0, 690.0, WL_CDF_K, dtype=np.float32)
+    scene = DeviceScene.from_columns(
+        x=rng.uniform(40, img - 40, n_obj),
+        y=rng.uniform(40, img - 40, n_obj),
+        obj_type=np.zeros(n_obj), p0=np.zeros(n_obj), p1=np.ones(n_obj),
+        p2=np.ones(n_obj), p3=np.zeros(n_obj), g1=np.zeros(n_obj),
+        g2=np.zeros(n_obj), mu=np.ones(n_obj),
+        wl_icdf=np.broadcast_to(wl, (n_obj, WL_CDF_K)))
+    return SceneHost(scene=scene, flux=np.round(flux),
+                     nominal_flux=flux, n_objects=n_obj)
+
+
+def test_pooling_classification_and_striding():
+    host = _tiny_host(bright=200_000)
+    cfg = PoolingConfig(xsize=256, ysize=256, nbatch=4, batch_size=100_000,
+                        faint_thresh=100.0, fft_sb_thresh=8e3)
+    r0_500 = 0.9758834 * 500e-9 / (0.8 * np.pi / 180 / 3600)
+    mtf = F.psf_mtf_table(622.0, r0_500)
+    modes = classify_objects(host, cfg, mtf)
+    assert modes[0] == FFT
+    assert (modes == FAINT).sum() > 0
+    assert (modes == PHOT).sum() > 0
+    batches = list(make_strided_batches(host, modes, cfg))
+    # every non-FFT photon appears exactly once; bright object spread out
+    tot = sum(int(w.sum()) for _, w in batches)
+    expect = int(host.flux[np.asarray(modes) != FFT].sum())
+    assert tot == expect
+    # a mid-bright object's photons appear in every batch
+    mid = int(np.argsort(host.flux)[-2])
+    for idx, w in batches:
+        sel = (np.asarray(idx) == mid) & (np.asarray(w) > 0)
+        assert sel.sum() > 0
+
+
+def test_pooling_render_flux_and_resume(tmp_path):
+    host = _tiny_host()
+    cfg = PoolingConfig(xsize=256, ysize=256, nbatch=3, batch_size=50_000,
+                        faint_thresh=10.0, nbatch_per_checkpoint=1)
+    img1, modes = render_ccd_pooled(7, host, cfg)
+    total = float(np.asarray(img1).sum())
+    expect = host.flux.sum()
+    assert abs(total - expect) < 0.05 * expect   # PSF wings off-edge only
+
+    ck = Checkpointer(str(tmp_path / "c.h5"))
+    img2, _ = render_ccd_pooled(7, host, cfg, checkpointer=ck)
+    saved = ck.load("pooled")
+    assert saved["next_batch"] >= 1
+    # resume from a partial checkpoint reproduces the same image
+    ck.save("pooled", dict(image=saved["image"] * 0.0, next_batch=0))
+    img3, _ = render_ccd_pooled(7, host, cfg, checkpointer=ck)
+    np.testing.assert_allclose(np.asarray(img3), np.asarray(img2),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_opd_zernike_recovery():
+    """OPD of the unperturbed design is small; an injected Z7 (coma)
+    perturbation on M2 shows up in the annular-Zernike fit."""
+    from imsim_tpu.optics.loader import load_telescope
+    from imsim_tpu.optics.opd import annular_zernikes, opd_map
+
+    tel = load_telescope(band="r").fiducial
+    img, mask, _, _ = opd_map(tel, 0.0, 0.0, nx=65)
+    rms0 = np.nanstd(img[mask])
+    # the bundled design is optimized for geometric spot size (the
+    # seeing-dominated regime), leaving a few waves of balanced
+    # focus/spherical in the wavefront
+    assert rms0 < 3000.0
+
+    pert = load_telescope(band="r", perturbations={
+        "M2": {"zernikes": {"coef": [0.0, 0.0, 0.0, 300e-9],
+                            "start_j": 4}}}).fiducial  # Z7 = 300 nm
+    zk = annular_zernikes(pert, 0.0, 0.0, jmax=11, nx=65)
+    zk0 = annular_zernikes(tel, 0.0, 0.0, jmax=11, nx=65)
+    dz = zk - zk0
+    # the kick is applied as a slope texture on M2 (double pass) —
+    # expect the injected mode to dominate the difference
+    j_peak = int(np.argmax(np.abs(dz))) + 1
+    assert j_peak == 7, (j_peak, dz)

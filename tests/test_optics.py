@@ -1,0 +1,178 @@
+"""Raytracer, WCS and full photon-chain tests (cf. the reference's
+tests/test_batoid_wcs.py and tests/test_image.py photometry criteria)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from imsim_tpu.electronics.camera import get_camera, focal_mm_to_pixel
+from imsim_tpu.image.scene import DeviceScene, WL_CDF_K
+from imsim_tpu.optics.loader import load_telescope
+from imsim_tpu.optics.trace import trace, rays_from_field
+from imsim_tpu.optics.wcs_factory import make_wcs_factory
+from imsim_tpu.utils.zernike import (fit_zernikes, zernike_eval,
+                                     zernike_grad, zernike_xy_coeffs)
+
+DEG = np.pi / 180
+
+
+def _pupil(n, seed=0):
+    rng = np.random.default_rng(seed)
+    r = np.sqrt(rng.uniform(2.558**2, 4.18**2, n))
+    a = rng.uniform(0, 2 * np.pi, n)
+    return r * np.cos(a), r * np.sin(a)
+
+
+def test_trace_focus_and_scale():
+    """On-axis spots small; EFL ~ 10.31 m (0.2''/10um pixel)."""
+    tel = load_telescope(band="r").fiducial
+    pu, pv = _pupil(500)
+    for th, max_rms in ((0.0, 8e-6), (1.2 * DEG, 10e-6)):
+        px, py, pz, vx, vy, vz = rays_from_field(
+            np, np.full(500, th), np.zeros(500), pu, pv)
+        out = trace(tel, px, py, pz, vx, vy, vz, np.full(500, 622.0), np)
+        x, y = out["x"], out["y"]
+        rms = np.hypot(x - x.mean(), y - y.mean()).std()
+        assert rms < max_rms, (th, rms)
+    x1 = trace(tel, *rays_from_field(np, np.full(9, 0.002), np.zeros(9),
+                                     *_pupil(9)), np.full(9, 622.0),
+               np)["x"].mean()
+    x2 = trace(tel, *rays_from_field(np, np.full(9, 0.003), np.zeros(9),
+                                     *_pupil(9)), np.full(9, 622.0),
+               np)["x"].mean()
+    efl = (x2 - x1) / 0.001
+    assert abs(efl - 10.31) < 0.02
+
+
+def test_trace_f32_matches_f64():
+    tel = load_telescope(band="r").fiducial
+    pu, pv = _pupil(200)
+    rays = rays_from_field(np, np.full(200, 0.01), np.zeros(200), pu, pv)
+    o64 = trace(tel, *rays, np.full(200, 622.0), np)
+
+    @jax.jit
+    def t32(tel, *args):
+        o = trace(tel, *args, jnp)
+        return o["x"], o["y"]
+
+    x32, y32 = t32(tel, *[jnp.asarray(a, jnp.float32) for a in rays],
+                   jnp.full((200,), 622.0, jnp.float32))
+    # f32 noise must be far below the 35 um FWHM PSF scale
+    assert np.abs(np.asarray(x32) - o64["x"]).max() < 3e-6
+
+
+def test_band_focus():
+    """Per-band detector offsets keep all bands in focus."""
+    pu, pv = _pupil(300)
+    for band, wl in dict(u=370.0, g=480.0, z=870.0).items():
+        tel = load_telescope(band=band).fiducial
+        rays = rays_from_field(np, np.full(300, 0.009), np.zeros(300),
+                               pu, pv)
+        o = trace(tel, *rays, np.full(300, wl), np)
+        rms = np.hypot(o["x"] - o["x"].mean(), o["y"] - o["y"].mean()).std()
+        assert rms < 10e-6, (band, rms)
+
+
+def test_perturbation_api():
+    """Shifting M2 moves the image; Zernike perturbation changes spots."""
+    base = load_telescope(band="r")
+    pert = load_telescope(band="r", perturbations={
+        "M2": {"shift": [100e-6, 0.0, 0.0]}})
+    pu, pv = _pupil(200)
+    rays = rays_from_field(np, np.full(200, 0.0), np.zeros(200), pu, pv)
+    x0 = trace(base.fiducial, *rays, np.full(200, 622.0), np)["x"].mean()
+    x1 = trace(pert.fiducial, *rays, np.full(200, 622.0), np)["x"].mean()
+    assert 1e-6 < abs(x1 - x0) < 1e-3  # decenter -> image shift
+
+
+def test_wcs_roundtrip_and_scale():
+    fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r",
+                           rotTelPos=10 * DEG)
+    cam = get_camera("LsstCamSim")
+    wcs = fac.get_wcs(cam["R22_S11"])
+    assert abs(wcs.pixel_scale() - 0.2) < 0.004
+    x = np.linspace(50, 4000, 5)
+    y = np.linspace(50, 3950, 5)
+    ra, dec = wcs.xy_to_radec(x, y)
+    xb, yb = wcs.radec_to_xy(ra, dec)
+    np.testing.assert_allclose(xb, x, atol=1e-6)
+    np.testing.assert_allclose(yb, y, atol=1e-6)
+
+
+def test_full_chain_photometry():
+    """Photons shot through the full chain (DCR+diffraction+raytrace)
+    land at the WCS-predicted pixels — the test_image.py 4-sigma
+    criterion, applied to the centroid."""
+    from imsim_tpu.image.render import shoot_full
+    from imsim_tpu.photons.optics_ops import make_optics_context
+
+    fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")
+    cam = get_camera("LsstCamSim")
+    ccd = cam["R22_S11"]
+    wcs = fac.get_wcs(ccd)
+    ctx = make_optics_context(fac, ccd)
+    tel32 = fac.telescope.for_detector(ccd.det_name)
+
+    # two point sources at known pixels
+    x_t = np.array([1000.0, 3000.0])
+    y_t = np.array([2000.0, 500.0])
+    ra, dec = wcs.xy_to_radec(x_t, y_t)
+    thx, thy = fac.icrf_to_field(ra, dec)
+
+    wl = np.linspace(550.0, 690.0, WL_CDF_K, dtype=np.float32)
+    scene = DeviceScene.from_columns(
+        x=thx, y=thy, obj_type=np.zeros(2), p0=np.zeros(2),
+        p1=np.ones(2), p2=np.ones(2), p3=np.zeros(2),
+        g1=np.zeros(2), g2=np.zeros(2), mu=np.ones(2),
+        wl_icdf=np.broadcast_to(wl, (2, WL_CDF_K)))
+
+    n = 4096
+    obj_idx = jnp.asarray(np.repeat([0, 1], n // 2), jnp.int32)
+    weight = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def run(key, scene, obj_idx, weight, tel, ctx):
+        ph = shoot_full(key, scene, obj_idx, weight, tel, ctx)
+        return ph.x, ph.y, ph.flux
+
+    x, y, flux = run(jax.random.PRNGKey(1), scene, obj_idx, weight,
+                     tel32, ctx)
+    x, y, flux = np.asarray(x), np.asarray(y), np.asarray(flux)
+    assert flux.sum() > 0.97 * n        # R22 center: no vignetting
+    for i, (xt, yt) in enumerate(zip(x_t, y_t)):
+        sel = slice(i * n // 2, (i + 1) * n // 2)
+        w = flux[sel]
+        cx = np.average(x[sel], weights=w)
+        cy = np.average(y[sel], weights=w)
+        # spot+diffraction ~ 0.1''; centroid sigma ~ spot/sqrt(N)
+        assert abs(cx - xt) < 1.0, (i, cx, xt)
+        assert abs(cy - yt) < 1.0, (i, cy, yt)
+
+
+def test_zernike_basis():
+    """Orthonormality over the unit disk + gradient correctness."""
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, 200_000)
+    y = rng.uniform(-1, 1, 200_000)
+    m = x * x + y * y <= 1.0
+    x, y = x[m], y[m]
+    for j in (2, 4, 7, 11):
+        zj = zernike_eval(np.eye(12)[j - 1], x, y)
+        assert abs(np.mean(zj**2) - 1.0) < 0.02, j       # unit RMS
+        for k in (3, 6, 10):
+            if k == j:
+                continue
+            zk = zernike_eval(np.eye(12)[k - 1], x, y)
+            assert abs(np.mean(zj * zk)) < 0.02, (j, k)
+    # gradient by finite difference
+    coef = rng.normal(0, 1, 10)
+    gx, gy = zernike_grad(coef, 0.3, -0.2)
+    h = 1e-6
+    fx = (zernike_eval(coef, 0.3 + h, -0.2)
+          - zernike_eval(coef, 0.3 - h, -0.2)) / (2 * h)
+    assert abs(gx - fx) < 1e-5
+    # fit recovers coefficients
+    z = zernike_eval(coef, x[:5000], y[:5000])
+    rec = fit_zernikes(x[:5000], y[:5000], z, 10)
+    np.testing.assert_allclose(rec, coef, atol=1e-8)
