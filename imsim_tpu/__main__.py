@@ -1,0 +1,49 @@
+"""CLI: `python -m imsim_tpu user.yaml [key.path=value ...]`
+
+The `galsim user.yaml` equivalent (doc/usage.rst:9-16): run a visit
+config with dotted-key overrides.  Extra flags: -v/-q logging,
+--profile for per-stage timing (the process_info observability analog).
+"""
+import argparse
+import logging
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="imsim_tpu",
+        description="TPU-native Rubin/LSST image simulator")
+    p.add_argument("config", help="visit config YAML")
+    p.add_argument("overrides", nargs="*",
+                   help="dotted-key overrides: image.nbatch=4 ...")
+    p.add_argument("-v", "--verbose", action="count", default=1)
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="log per-detector wall time + peak RSS")
+    args = p.parse_args(argv)
+
+    level = logging.WARNING if args.quiet else (
+        logging.DEBUG if args.verbose > 1 else logging.INFO)
+    logging.basicConfig(level=level, stream=sys.stdout,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    logger = logging.getLogger("imsim_tpu")
+
+    from .config.runner import build_visit_context, load_config, \
+        render_one_ccd, _det_list
+    from .utils.process_info import stage_profile
+
+    cfg = load_config(args.config, args.overrides)
+    t0 = time.time()
+    ctx = build_visit_context(cfg, logger)
+    logger.info("visit context built in %.1fs", time.time() - t0)
+    for det_num in _det_list(ctx):
+        with stage_profile(f"det {det_num}", logger,
+                           enabled=args.profile):
+            render_one_ccd(ctx, det_num, logger)
+    logger.info("visit complete in %.1fs", time.time() - t0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,179 @@
+"""Type registries: the imSim type names -> framework builders.
+
+The reference's extension mechanism is GalSim's global registries; every
+imsim module ends with Register*Type calls (SURVEY L2; e.g.
+imsim/instcat.py:667-671, imsim/stamp.py:586, imsim/ccd.py:208).  Here
+the registries are plain dicts so users extend the framework the same
+way: register_input("my_loader", builder), and YAML `type:` names
+resolve through them.
+"""
+from __future__ import annotations
+
+INPUT_TYPES: dict = {}
+VALUE_TYPES: dict = {}
+IMAGE_TYPES: dict = {}
+STAMP_TYPES: dict = {}
+OUTPUT_TYPES: dict = {}
+EXTRA_OUTPUT_TYPES: dict = {}
+PSF_TYPES: dict = {}
+WCS_TYPES: dict = {}
+PHOTON_OP_TYPES: dict = {}
+BANDPASS_TYPES: dict = {}
+SED_TYPES: dict = {}
+
+
+def _reg(registry):
+    def deco_factory(name):
+        def deco(fn):
+            registry[name] = fn
+            return fn
+        return deco
+    return deco_factory
+
+
+register_input = _reg(INPUT_TYPES)
+register_value = _reg(VALUE_TYPES)
+register_image = _reg(IMAGE_TYPES)
+register_stamp = _reg(STAMP_TYPES)
+register_output = _reg(OUTPUT_TYPES)
+register_extra_output = _reg(EXTRA_OUTPUT_TYPES)
+register_psf = _reg(PSF_TYPES)
+register_wcs = _reg(WCS_TYPES)
+register_photon_op = _reg(PHOTON_OP_TYPES)
+register_bandpass = _reg(BANDPASS_TYPES)
+register_sed = _reg(SED_TYPES)
+
+
+def build_value(type_name: str, node: dict, view):
+    """Resolve a {type: X, ...} node through the value registries."""
+    for reg in (VALUE_TYPES, PSF_TYPES, WCS_TYPES, BANDPASS_TYPES,
+                SED_TYPES, PHOTON_OP_TYPES):
+        if type_name in reg:
+            return reg[type_name](node, view)
+    raise KeyError(f"unknown config type '{type_name}'")
+
+
+# ---------------------------------------------------------------------------
+# Built-in registrations (names match the reference's registered kinds)
+# ---------------------------------------------------------------------------
+
+
+@register_bandpass("RubinBandpass")
+def _rubin_bandpass(node, view):
+    from ..catalog.bandpass import rubin_bandpass
+
+    band = view.resolve(node.get("band", "@image.bandpass.band"))
+    airmass = view.resolve(node.get("airmass", 1.0))
+    return rubin_bandpass(band, airmass=float(airmass))
+
+
+@register_psf("AtmosphericPSF")
+def _atm_psf(node, view):
+    from ..psf.atmosphere import AtmConfig
+
+    return AtmConfig(
+        fwhm=float(view.resolve(node.get("fwhm",
+                                         view.get("psf.fwhm", 0.8)))),
+        L0=float(view.resolve(node.get("L0", 25.0))),
+        kcrit=float(view.resolve(node.get("kcrit", 0.2))),
+        exptime=float(view.resolve(node.get("exptime", 30.0))),
+    )
+
+
+@register_psf("DoubleGaussianPSF")
+def _double_gaussian_psf(node, view):
+    return dict(kind="double_gaussian",
+                fwhm1=float(view.resolve(node.get("fwhm1", 0.6))),
+                fwhm2=float(view.resolve(node.get("fwhm2", 0.12))),
+                wgt1=float(view.resolve(node.get("wgt1", 0.8))))
+
+
+@register_psf("KolmogorovPSF")
+def _kolmogorov_psf(node, view):
+    return dict(kind="kolmogorov",
+                fwhm=float(view.resolve(node.get("fwhm", 0.8))),
+                gauss_fwhm=float(view.resolve(node.get("gauss_fwhm", 0.3))))
+
+
+@register_psf("Convolve")
+def _convolve_psf(node, view):
+    return [view.resolve(item) for item in node.get("items", [])]
+
+
+@register_wcs("Batoid")
+def _batoid_wcs(node, view):
+    # name kept for config compatibility: the raytraced WCS
+    return dict(kind="raytraced", node=node)
+
+
+@register_wcs("Dict")
+def _dict_wcs(node, view):
+    from ..optics.wcs import TanSipWCS
+    import numpy as np
+
+    d = view.resolve(node.get("dict", {}))
+    crpix = [float(d.get("CRPIX1", 2048)) - 1,
+             float(d.get("CRPIX2", 2048)) - 1]
+    cd = np.array([[-float(d.get("CD1_1", 5.5e-5)),
+                    -float(d.get("CD1_2", 0.0))],
+                   [float(d.get("CD2_1", 0.0)),
+                    float(d.get("CD2_2", 5.5e-5))]])
+    crval = [float(d.get("CRVAL1", 0.0)) * np.pi / 180,
+             float(d.get("CRVAL2", 0.0)) * np.pi / 180]
+    return TanSipWCS(crpix, cd, crval)
+
+
+@register_value("OpsimData")
+def _opsim_value(node, view):
+    field = view.resolve(node["field"])
+    return view.state["opsim_data"][field]
+
+
+@register_value("SkyLevel")
+def _sky_level(node, view):
+    sky = view.state["sky_model"]
+    ra, dec = view.state["boresight"]
+    return sky.get_sky_level(ra, dec)
+
+
+@register_value("TreeRingCenter")
+def _tree_ring_center(node, view):
+    det = view.resolve(node.get("det_name", view.state.get("det_name")))
+    return view.state["tree_rings"].get_center(det)
+
+
+@register_value("TreeRingFunc")
+def _tree_ring_func(node, view):
+    det = view.resolve(node.get("det_name", view.state.get("det_name")))
+    return view.state["tree_rings"].get_func(det)
+
+
+@register_value("RowData")
+def _row_data(node, view):
+    from ..catalog.table_row import row_data
+    return row_data(node, view)
+
+
+@register_photon_op("RubinOptics")
+def _rubin_optics(node, view):
+    return dict(kind="optics", dcr=False, diffraction=False)
+
+
+@register_photon_op("RubinDiffractionOptics")
+def _rubin_diff_optics(node, view):
+    return dict(kind="optics", dcr=False, diffraction=True)
+
+
+@register_photon_op("RubinDiffraction")
+def _rubin_diffraction(node, view):
+    return dict(kind="diffraction")
+
+
+@register_photon_op("PhotonDCR")
+def _photon_dcr(node, view):
+    return dict(kind="dcr")
+
+
+@register_photon_op("BandpassRatio")
+def _bandpass_ratio(node, view):
+    return dict(kind="bandpass_ratio", node=node)

@@ -1,0 +1,407 @@
+"""Visit runner: config -> rendered CCDs on disk.
+
+The LSST_CCD output pipeline (imsim/ccd.py + imsim/lsst_image.py +
+imsim/readout.py orchestration, SURVEY §3.1) as one explicit flow:
+
+  inputs (opsim metadata, telescope, atmosphere, sky model, tree rings,
+  vignetting, checkpointer, catalog)
+  -> per detector: WCS -> culled scene -> pooled photon render (full
+     optics chain) -> sky + noise -> cosmic rays -> eimage FITS
+     -> readout chain -> RICE amp FITS -> truth catalog
+
+Detector-level parallelism: detectors are independent; `run_visit`
+renders them sequentially on one chip, `parallel.visit.run_visit_sharded`
+fans them out across a device mesh (the output.nproc analog).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..catalog import opsim as opsim_mod
+from ..catalog.bandpass import rubin_bandpass
+from ..catalog.instcat import read_instcat
+from ..electronics.camera import (PIXEL_SIZE_MM, get_camera,
+                                  pixel_to_focal_mm)
+from ..electronics.readout import CcdReadout
+from ..image import scene as scene_mod
+from ..image.ccd_render import _add_sky_and_noise
+from ..image.cosmic_rays import paint_cosmic_rays
+from ..image.photon_pooling import PoolingConfig, render_ccd_pooled
+from ..image.sky import CCD_Fringing, SkyGradient, SkyModel, \
+    sensor_fringing_seed
+from ..image.vignetting import Vignetting
+from ..io.checkpoint import Checkpointer
+from ..io.fits import HDU, write_fits
+from ..optics.loader import load_telescope
+from ..optics.wcs_factory import WCSFactory, make_wcs_factory
+from ..photons.optics_ops import make_optics_context
+from ..psf.atmosphere import AtmConfig, make_screens, second_kick_table, \
+    solve_r0_500
+from ..sensor.silicon import SiliconParams
+from ..sensor.treerings import TreeRings
+from ..utils.rng import stream
+from .interpreter import ConfigView, load_config
+
+DEG = np.pi / 180.0
+
+
+@dataclasses.dataclass
+class VisitContext:
+    """Everything shared across the visit's detectors."""
+
+    cfg: dict
+    view: ConfigView
+    opsim: opsim_mod.OpsimData
+    camera: object
+    telescope: object           # LoadedTelescope
+    wcs_factory: WCSFactory
+    bandpass: object
+    sky_model: SkyModel
+    tree_rings: TreeRings
+    vignetting: Vignetting
+    atm_cfg: AtmConfig | None
+    screens: object | None
+    seed: int
+
+
+def build_visit_context(cfg: dict, logger=None) -> VisitContext:
+    view = ConfigView(cfg)
+    # --- opsim metadata -----------------------------------------------------
+    ods_cfg = cfg.get("input", {}).get("opsim_data", {}) or {}
+    fname = ods_cfg.get("file_name")
+    if fname and str(fname).endswith(".db"):
+        ods = opsim_mod.read_opsim_db(fname, ods_cfg.get("visit"))
+    elif fname:
+        ods = opsim_mod.read_instcat_header(fname)
+    else:
+        cat = cfg.get("input", {}).get("instance_catalog", {}) or {}
+        if cat.get("file_name"):
+            ods = opsim_mod.read_instcat_header(cat["file_name"])
+        else:
+            ods = opsim_mod.from_dict(dict(cfg.get("opsim_meta", {})))
+    view.state["opsim_data"] = ods
+    band = ods.get("band", "r")
+    seed = int(ods.get("seed", 42))
+
+    # --- telescope -----------------------------------------------------------
+    tcfg = cfg.get("input", {}).get("telescope", {}) or {}
+    rotTelPos = float(ods.get("rotTelPos", 0.0)) * DEG
+    telescope = load_telescope(
+        telescope=tcfg.get("name", "LSST"), band=band,
+        perturbations=tcfg.get("perturbations", ()) or (),
+        fea=tcfg.get("fea"), rotTelPos=rotTelPos,
+        focusZ=float(tcfg.get("focusZ", 0.0)))
+
+    # --- WCS factory ----------------------------------------------------------
+    ra = float(ods.get("fieldRA", 0.0)) * DEG
+    dec = float(ods.get("fieldDec", 0.0)) * DEG
+    view.state["boresight"] = (ra, dec)
+    wcfg = cfg.get("image", {}).get("wcs", {}) or {}
+    weather = {}
+    if wcfg.get("pressure") is not None:
+        weather["pressure_kpa"] = float(wcfg["pressure"])
+    if wcfg.get("temperature") is not None:
+        weather["temperature_k"] = float(wcfg["temperature"])
+    if wcfg.get("H2O_pressure") is not None:
+        weather["h2o_pressure_kpa"] = float(wcfg["H2O_pressure"])
+    fac = make_wcs_factory(ra, dec, float(ods.get("mjd_mid", 60674.0)),
+                           band=band, telescope=telescope, **weather)
+
+    # --- bandpass, sky, sensors, vignetting ----------------------------------
+    bandpass = rubin_bandpass(band, airmass=float(ods.get("airmass", 1.0)))
+    exptime = float(ods.get("exptime", 30.0))
+    sky_model = SkyModel(exptime, ods.get("mjd_mid", 60674.0), bandpass,
+                         airmass=float(ods.get("airmass", 1.0)),
+                         moon_phase_deg=float(ods.get("moonPhase", 180.0)),
+                         moon_alt_rad=float(ods.get("moonAlt", -0.5)))
+    tree_rings = TreeRings()
+    view.state["tree_rings"] = tree_rings
+    vcfg = cfg.get("input", {}).get("vignetting", {}) or {}
+    if vcfg.get("file_name"):
+        samples = np.loadtxt(vcfg["file_name"], unpack=True)
+        vignetting = Vignetting(samples)
+    else:
+        vignetting = Vignetting()
+
+    # --- atmosphere ------------------------------------------------------------
+    atm_cfg = None
+    screens = None
+    psf_cfg = cfg.get("psf", {}) or {}
+    if psf_cfg.get("type", "AtmosphericPSF") == "AtmosphericPSF":
+        acfg = cfg.get("input", {}).get("atm_psf", {}) or {}
+        atm_cfg = AtmConfig(
+            fwhm=float(ods.get("rawSeeing", 0.7)),
+            L0=float(acfg.get("L0", 25.0)),
+            kcrit=float(acfg.get("kcrit", 0.2)),
+            screen_size=float(acfg.get("screen_size", 819.2)),
+            screen_scale=float(acfg.get("screen_scale", 0.4)),
+            altitude_deg=float(ods.get("altitude", 90.0)),
+            exptime=exptime)
+        # private atmosphere seed: seed + 271828 (imsim/atmPSF.py:415)
+        screens = make_screens(seed + 271828, atm_cfg)
+
+    cam_name = cfg.get("output", {}).get("camera", "LsstCamSim")
+    return VisitContext(cfg=cfg, view=view, opsim=ods,
+                        camera=get_camera(cam_name), telescope=telescope,
+                        wcs_factory=fac, bandpass=bandpass,
+                        sky_model=sky_model, tree_rings=tree_rings,
+                        vignetting=vignetting, atm_cfg=atm_cfg,
+                        screens=screens, seed=seed)
+
+
+def _det_list(ctx: VisitContext):
+    out_cfg = ctx.cfg.get("output", {})
+    only = out_cfg.get("only_dets")
+    if only:
+        return [ctx.camera.det_num(d) for d in only]
+    dets = out_cfg.get("det_num")
+    if dets is None:
+        dets = list(range(int(out_cfg.get("nfiles",
+                                          len(ctx.camera.det_names)))))
+    return [int(d) for d in dets]
+
+
+def _format_name(template, ctx, det_name, det_num):
+    return str(template).format(
+        visit=int(ctx.opsim.get("observationId", 0)),
+        band=ctx.opsim.get("band", "r"), det_name=det_name,
+        det_num=det_num)
+
+
+def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
+                   write=True):
+    """The LSST_CCD builder for one detector (imsim/ccd.py:20-206 flow)."""
+    cfg = ctx.cfg
+    det_name = ctx.camera.det_name(det_num)
+    ccd = ctx.camera[det_name]
+    nx, ny = ccd.bounds.width, ccd.bounds.height
+    exptime = float(ctx.opsim.get("exptime", 30.0))
+    img_cfg = cfg.get("image", {})
+    stamp_cfg = cfg.get("stamp", {})
+
+    wcs = ctx.wcs_factory.get_wcs(ccd)
+    octx = make_optics_context(ctx.wcs_factory, ccd)
+    tel32 = ctx.wcs_factory.telescope.for_detector(det_name)
+
+    # ---- catalog -> scene -------------------------------------------------
+    cat_cfg = cfg.get("input", {}).get("instance_catalog", {}) or {}
+    host = None
+    table = None
+    if cat_cfg.get("file_name"):
+        table = read_instcat(cat_cfg["file_name"], wcs=wcs, xsize=nx,
+                             ysize=ny,
+                             edge_pix=float(cat_cfg.get("edge_pix", 100)),
+                             sort_mag=bool(cat_cfg.get("sort_mag", True)),
+                             flip_g2=bool(cat_cfg.get("flip_g2", True)),
+                             logger=logger)
+        sed_dirs = cat_cfg.get("sed_dir") or \
+            os.environ.get("SIMS_SED_LIBRARY_DIR", ".")
+        if isinstance(sed_dirs, str):
+            sed_dirs = [sed_dirs]
+        host = scene_mod.build_scene(
+            table, ctx.bandpass, sed_dirs, exptime=exptime,
+            rng=np.random.default_rng(ctx.seed + det_num))
+        # optics chain wants field angles in COL_X/COL_Y
+        thx, thy = ctx.wcs_factory.icrf_to_field(table.ra, table.dec)
+        params = np.array(host.scene.params)
+        params[:len(table), 0] = thx
+        params[:len(table), 1] = thy
+        host.scene = dataclasses.replace(
+            host.scene, params=jnp.asarray(params))
+    elif "scene_host" in ctx.view.state:
+        host = ctx.view.state["scene_host"]
+
+    # ---- silicon sensor -----------------------------------------------------
+    silicon = None
+    sensor_cfg = img_cfg.get("sensor", {}) or {}
+    if sensor_cfg.get("type", "Silicon") == "Silicon":
+        tr = ctx.tree_rings.get(det_name)
+        silicon = SiliconParams.make(
+            treering_center=tr.center, treering_profile=tr.profile)
+
+    # ---- pooled render -------------------------------------------------------
+    ckpt = None
+    ck_cfg = cfg.get("input", {}).get("checkpoint", {}) or {}
+    if ck_cfg.get("dir"):
+        fname = ck_cfg.get("file_name") or "checkpoint_{det_name}.h5"
+        ckpt = Checkpointer(_format_name(fname, ctx, det_name, det_num),
+                            dir=ck_cfg["dir"])
+    pcfg = PoolingConfig(
+        xsize=nx, ysize=ny, exptime=exptime,
+        nbatch=int(img_cfg.get("nbatch", 8)),
+        batch_size=int(img_cfg.get("batch_size", 8_000_000)),
+        nsub=int(img_cfg.get("nsubbatch", 4)),
+        faint_thresh=float(stamp_cfg.get("faint_thresh", 100.0)),
+        fft_sb_thresh=float(stamp_cfg.get("fft_sb_thresh", 0.0)),
+        pixel_scale=float(img_cfg.get("pixel_scale", 0.2)),
+        fwhm=float(ctx.opsim.get("FWHMeff", 0.8)),
+        nbatch_per_checkpoint=int(img_cfg.get("nbatch_per_checkpoint", 1)))
+
+    sk_table = None
+    if ctx.atm_cfg is not None:
+        sk = second_kick_table(ctx.atm_cfg,
+                               ctx.bandpass.effective_wavelength)
+        sk_table = dataclasses.replace(sk, y=jnp.asarray(sk.y))
+
+    if host is not None and host.n_objects > 0:
+        image, modes = render_ccd_pooled(
+            ctx.seed + det_num, host, pcfg, silicon=silicon, tel=tel32,
+            ctx=octx, screens=ctx.screens, sk_table=sk_table,
+            checkpointer=ckpt, logger=logger)
+    else:
+        image, modes = jnp.zeros((ny, nx), jnp.float32), None
+
+    # ---- sky + noise ---------------------------------------------------------
+    sky_level = 0.0
+    if img_cfg.get("sky_level") is not None:
+        ra_c, dec_c = wcs.xy_to_radec((nx - 1) / 2.0, (ny - 1) / 2.0)
+        sky_level = ctx.sky_model.get_sky_level(float(ra_c), float(dec_c))
+    if sky_level > 0:
+        grad = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0))
+        if img_cfg.get("apply_sky_gradient", True):
+            sg = SkyGradient(ctx.sky_model, wcs, float(ra_c), float(dec_c),
+                             nx)
+            grad = (jnp.float32(sg.a / sg.sky_level_center),
+                    jnp.float32(sg.b / sg.sky_level_center),
+                    jnp.float32(sg.c / sg.sky_level_center))
+        vig = jnp.ones((ny, nx), jnp.float32)
+        if img_cfg.get("apply_vignetting", True):
+            yy = (np.arange(ny) - (ny - 1) / 2) * PIXEL_SIZE_MM \
+                + ccd.center_mm[1]
+            xx = (np.arange(nx) - (nx - 1) / 2) * PIXEL_SIZE_MM \
+                + ccd.center_mm[0]
+            vimg = ctx.vignetting.image_plane(
+                ccd.center_mm, (yy[:, None], xx[None, :]))
+            vig = jnp.asarray(vimg, jnp.float32)
+        if img_cfg.get("apply_fringing", True) and ccd.vendor == "E2V":
+            fr = CCD_Fringing(
+                sensor_fringing_seed(ccd.getSerial(),
+                                     int(ctx.opsim.get("observationId", 0))),
+                boresight_offset_deg=0.0)
+            vig = vig * jnp.asarray(fr.fringing_map((ny, nx)))
+        image = _add_sky_and_noise(
+            stream(ctx.seed, "sky", det_num), image,
+            jnp.float32(sky_level), grad, vig, pcfg.pixel_scale)
+
+    # ---- cosmic rays (host, sparse) -------------------------------------------
+    eimage = np.asarray(image)
+    cr_rate = float(cfg.get("output", {}).get("cosmic_ray_rate", 0.0))
+    if cr_rate > 0:
+        eimage = paint_cosmic_rays(eimage.copy(), exptime,
+                                   seed=ctx.seed * 189 + det_num,
+                                   ccd_rate=cr_rate, logger=logger)
+
+    result = dict(det_name=det_name, det_num=det_num, eimage=eimage,
+                  wcs=wcs, modes=modes, host=host, ccd=ccd, table=table)
+    if write:
+        write_outputs(ctx, result, logger)
+    return result
+
+
+def eimage_header(ctx: VisitContext, det_name, wcs):
+    """DM-ingestible primary keywords (imsim/ccd.py:138-206 analog)."""
+    ods = ctx.opsim
+    h = {
+        "RUNNUM": int(ods.get("observationId", 0)),
+        "OBSID": int(ods.get("observationId", 0)),
+        "MJD-OBS": float(ods.get("observationStartMJD", 0.0)),
+        "EXPTIME": float(ods.get("exptime", 30.0)),
+        "FILTER": ods.get("band", "r"),
+        "DET_NAME": det_name,
+        "RATEL": float(ods.get("fieldRA", 0.0)),
+        "DECTEL": float(ods.get("fieldDec", 0.0)),
+        "ROTANGLE": float(ods.get("rotTelPos", 0.0)),
+        "AIRMASS": float(ods.get("airmass", 1.0)),
+        "CAMERA": ctx.cfg.get("output", {}).get("camera", "LsstCamSim"),
+    }
+    h.update(wcs.header_cards())
+    return h
+
+
+def write_outputs(ctx: VisitContext, result, logger=None):
+    cfg = ctx.cfg
+    out_cfg = cfg.get("output", {})
+    outdir = out_cfg.get("dir", "output")
+    det_name = result["det_name"]
+    det_num = result["det_num"]
+    eimage = result["eimage"]
+    wcs = result["wcs"]
+    ccd = result["ccd"]
+
+    # eimage
+    fname = _format_name(out_cfg.get("file_name", "eimage.fits"), ctx,
+                         det_name, det_num)
+    write_fits(os.path.join(outdir, fname),
+               [HDU(eimage.astype(np.float32),
+                    header=eimage_header(ctx, det_name, wcs))])
+
+    # raw amp file through the readout chain
+    r_cfg = out_cfg.get("readout", {}) or {}
+    if r_cfg.get("enabled", True):
+        ro = CcdReadout(ccd, readout_time=float(r_cfg.get("readout_time",
+                                                          2.0)),
+                        dark_current=float(r_cfg.get("dark_current", 0.02)),
+                        scti=float(r_cfg.get("scti", 1e-6)),
+                        pcti=float(r_cfg.get("pcti", 1e-6)))
+        amps = np.asarray(ro.run(stream(ctx.seed, "readout", det_num),
+                                 jnp.asarray(eimage),
+                                 exptime=float(ctx.opsim.get("exptime",
+                                                             30.0))))
+        hdus = [HDU(None, header=eimage_header(ctx, det_name, wcs),
+                    is_primary=True)]
+        for k, aname in enumerate(ccd.amp_names):
+            amp = ccd[aname]
+            hdr = {
+                "EXTNAME": f"Segment{aname[1:]}",
+                "DATASEC": amp.raw_data_bounds.section_keyword(),
+                "DETSEC": amp.bounds.section_keyword(
+                    amp.raw_flip_x, amp.raw_flip_y),
+                "DETSIZE": ccd.bounds.section_keyword(),
+                "GAIN": amp.gain,
+            }
+            hdus.append(HDU(amps[k], header=hdr, name=None,
+                            compress="rice"))
+        rname = _format_name(r_cfg.get("file_name", "amp.fits"), ctx,
+                             det_name, det_num)
+        write_fits(os.path.join(outdir, rname), hdus)
+
+    # truth catalog ("centroid" file, config/imsim-config.yaml:370-393)
+    t_cfg = out_cfg.get("truth", {}) or {}
+    if t_cfg.get("enabled", True) and result["host"] is not None:
+        host = result["host"]
+        tname = _format_name(t_cfg.get("file_name", "centroid.txt"), ctx,
+                             det_name, det_num)
+        path = os.path.join(outdir, tname)
+        table = result.get("table")
+        if table is not None:
+            xs, ys = table.x, table.y
+        else:
+            params = np.asarray(host.scene.params)[:host.n_objects]
+            xs, ys = params[:, 0], params[:, 1]
+        with open(path, "w") as f:
+            f.write("# obj_index x y nominal_flux realized_flux mode\n")
+            modes = result["modes"]
+            for i in range(host.n_objects):
+                m = int(modes[i]) if modes is not None else 1
+                f.write(f"{i} {xs[i]:.4f} {ys[i]:.4f} "
+                        f"{host.nominal_flux[i]:.2f} {host.flux[i]:.0f} "
+                        f"{m}\n")
+    if logger:
+        logger.info("wrote outputs for %s", det_name)
+
+
+def run_visit(cfg_or_path, overrides=(), logger=None):
+    """Entry point: `imsim_tpu.run_visit('user.yaml')` — the
+    `galsim user.yaml` equivalent."""
+    cfg = load_config(cfg_or_path, overrides)
+    ctx = build_visit_context(cfg, logger)
+    results = []
+    for det_num in _det_list(ctx):
+        results.append(render_one_ccd(ctx, det_num, logger))
+    return results

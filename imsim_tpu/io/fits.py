@@ -211,7 +211,13 @@ def read_fits(path):
         nbytes = 0
         if cards.get("XTENSION", "").startswith("BINTABLE"):
             nbytes = cards["NAXIS1"] * cards["NAXIS2"] + pcount
-            data = raw[hdr_end:hdr_end + nbytes]  # opaque bytes for tables
+            if cards.get("ZIMAGE") and cards.get("ZCMPTYPE",
+                                                 "").startswith("RICE"):
+                from .rice import deserialize_rice_hdu
+                data = deserialize_rice_hdu(
+                    cards, raw[hdr_end:hdr_end + nbytes])
+            else:
+                data = raw[hdr_end:hdr_end + nbytes]  # opaque table bytes
         elif nelem:
             dt = np.dtype(_DTYPES[cards["BITPIX"]])
             nbytes = nelem * dt.itemsize + pcount

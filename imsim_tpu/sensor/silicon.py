@@ -119,18 +119,36 @@ def _table_lookup(y, x0, dx, x):
 
 
 def displacement_field(image, params: SiliconParams):
-    """BF displacement potential gradient from accumulated charge:
-    phi = K * Q (depthwise conv on MXU), then central differences."""
-    K = params.bf_kernel
-    img4 = image[None, :, :, None]
-    k4 = K[:, :, None, None]
-    phi = jax.lax.conv_general_dilated(
-        img4, k4, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
-    # displacement = -grad(phi); central differences
-    dy = 0.5 * (jnp.roll(phi, -1, 0) - jnp.roll(phi, 1, 0))
-    dx = 0.5 * (jnp.roll(phi, -1, 1) - jnp.roll(phi, 1, 1))
-    return -dx, -dy
+    """BF displacement field from accumulated charge: conv of Q with the
+    *gradient* of the interaction kernel.
+
+    TPU note: a 1-channel NHWC conv gets its channel dim padded to the
+    128-lane register width by XLA — a 9x9 SAME conv on a 4k x 4k image
+    tried to allocate ~8 GB of HBM temp.  Instead the small-kernel conv
+    is unrolled into shifted-slice adds over one padded copy (pure VPU
+    elementwise, fuses into a single pass, zero temp beyond the pad)."""
+    K = params.bf_kernel  # (2R+1, 2R+1)
+    k = K.shape[0]
+    R = k // 2
+    # d(phi)/dx as a conv kernel: central difference of K along x/y
+    Kp = jnp.pad(K, 1)
+    dKx = 0.5 * (Kp[1:-1, 2:] - Kp[1:-1, :-2])   # (k, k) + support 1 wider
+    dKy = 0.5 * (Kp[2:, 1:-1] - Kp[:-2, 1:-1])
+    H, W = image.shape
+    pad = R + 1
+    P = jnp.pad(image, pad)
+    dx = jnp.zeros_like(image)
+    dy = jnp.zeros_like(image)
+    for i in range(k):
+        for j in range(k):
+            # cross-correlation: out(y,x) += dK(i,j) * in(y+i-R, x+j-R);
+            # for correlation with the kernel *gradient* this directly
+            # yields -d(phi)/dx (check: K = delta -> dx = -dQ/dx)
+            sl = jax.lax.dynamic_slice(P, (pad + i - R, pad + j - R),
+                                       (H, W))
+            dx = dx + dKx[i, j] * sl
+            dy = dy + dKy[i, j] * sl
+    return dx, dy
 
 
 def apply_silicon_displacements(key, photons: PhotonBatch,
