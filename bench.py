@@ -1,12 +1,15 @@
-"""Headline benchmark: photon-shot 4Kx4K single-CCD visit.
+"""Headline benchmark: photon-shot 4Kx4K single-CCD visit, FULL physics.
+
+The BASELINE.json north-star workload: ~1e5 objects (stars + Sersic
+galaxies + knots), ~1e8 photons total, through the COMPLETE chain —
+atmospheric phase screens (first kick) + second kick, DCR, spider
+diffraction, 12-surface raytrace, silicon sensor (conversion depth,
+diffusion, tree rings, brighter-fatter with recalc cadence), full-frame
+sky with Poisson noise — on one TPU chip.  Target < 10 s wall-clock.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-
-The scene: ~1e5 objects (stars + Sersic galaxies + knots) with a total
-photon budget of ~1e8, Kolmogorov*Gaussian PSF, full-frame sky background
-with Poisson noise — the BASELINE.json north-star workload (<10 s on one
-TPU chip).  vs_baseline = 10s / measured wall-clock (>1 beats the target).
+vs_baseline = 10s / measured wall-clock (>1 beats the target).
 """
 import json
 import time
@@ -17,26 +20,24 @@ import jax
 import jax.numpy as jnp
 
 
-def build_synthetic_scene(n_obj=100_000, img=4096, total_photons=1.0e8,
-                          seed=0):
+def build_synthetic_host(fac, ccd, n_obj=100_000, total_photons=1.0e8,
+                         seed=0):
     from imsim_tpu.image.scene import DeviceScene, SceneHost, WL_CDF_K
 
     rng = np.random.default_rng(seed)
-    # power-law-ish flux distribution over ~6 mag: many faint, few bright
     raw = 10 ** rng.uniform(0.0, 2.4, n_obj) ** 1.35
     flux = raw / raw.sum() * total_photons
     flux = rng.poisson(np.clip(flux, 0, None)).astype(np.float64)
 
-    # 70% galaxies (sersic), 25% stars, 5% knots
     t = rng.uniform(0, 1, n_obj)
     obj_type = np.where(t < 0.25, 0, np.where(t < 0.95, 1, 2)).astype(np.int32)
 
-    # spatially sorted (Morton-ish by tile) for scatter locality
-    x = rng.uniform(0, img, n_obj)
-    y = rng.uniform(0, img, n_obj)
-    tile = (y.astype(int) // 256) * (img // 256) + x.astype(int) // 256
-    order = np.argsort(tile)
-    x, y, flux, obj_type = x[order], y[order], flux[order], obj_type[order]
+    nx, ny = ccd.bounds.width, ccd.bounds.height
+    x = rng.uniform(0, nx, n_obj)
+    y = rng.uniform(0, ny, n_obj)
+    wcs = fac.get_wcs(ccd)
+    ra, dec = wcs.xy_to_radec(x, y)
+    thx, thy = fac.icrf_to_field(ra, dec)
 
     hlr = np.clip(rng.lognormal(np.log(0.35), 0.6, n_obj), 0.05, 3.0)
     srs_n = np.where(obj_type == 2, 30.0,
@@ -46,13 +47,14 @@ def build_synthetic_scene(n_obj=100_000, img=4096, total_photons=1.0e8,
     wl = np.linspace(552.0, 691.0, WL_CDF_K).astype(np.float32)
 
     n_pad = int(2 ** np.ceil(np.log2(n_obj)))
+
     def pad(a, fill=0.0):
         out = np.full(n_pad, fill, np.float32)
         out[:n_obj] = a
         return out
 
     scene = DeviceScene.from_columns(
-        x=pad(x), y=pad(y), obj_type=pad(obj_type),
+        x=pad(thx), y=pad(thy), obj_type=pad(obj_type),
         p0=pad(hlr), p1=pad(srs_n, 1.0), p2=pad(q, 1.0), p3=pad(beta),
         g1=pad(rng.normal(0, 0.02, n_obj)),
         g2=pad(rng.normal(0, 0.02, n_obj)),
@@ -64,30 +66,76 @@ def build_synthetic_scene(n_obj=100_000, img=4096, total_photons=1.0e8,
 
 
 def main():
-    from imsim_tpu.image.ccd_render import RenderConfig, render_ccd
+    import dataclasses
 
-    host = build_synthetic_scene()
+    from imsim_tpu.electronics.camera import get_camera
+    from imsim_tpu.image.ccd_render import _add_sky_and_noise
+    from imsim_tpu.image.photon_pooling import (PoolingConfig,
+                                                render_ccd_pooled)
+    from imsim_tpu.optics.wcs_factory import make_wcs_factory
+    from imsim_tpu.photons.optics_ops import make_optics_context
+    from imsim_tpu.psf.atmosphere import (AtmConfig, make_screens,
+                                          second_kick_table)
+    from imsim_tpu.sensor.silicon import SiliconParams
+    from imsim_tpu.sensor.treerings import TreeRings
+    from imsim_tpu.utils.rng import stream
+
+    DEG = np.pi / 180
+    fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")
+    cam = get_camera("LsstCamSim")
+    ccd = cam["R22_S11"]
+    host = build_synthetic_host(fac, ccd)
     total_photons = float(host.flux.sum())
-    cfg = RenderConfig(xsize=4096, ysize=4096, batch_size=8_000_000,
-                       fwhm=0.8, sky_level=17_500.0)  # ~700 e-/pix sky
 
-    # compile warmup on a single batch + sky pass
-    img = render_ccd(1, host, cfg, max_batches=1)
-    img.block_until_ready()
-    _ = float(img[0, 0])
+    octx = make_optics_context(fac, ccd)
+    tel32 = fac.telescope.for_detector("R22_S11")
+    atm_cfg = AtmConfig(fwhm=0.7)
+    screens = make_screens(42 + 271828, atm_cfg)
+    sk = second_kick_table(atm_cfg, 622.0)
+    sk = dataclasses.replace(sk, y=jnp.asarray(sk.y))
+    tr = TreeRings().get("R22_S11")
+    silicon = SiliconParams.make(treering_center=tr.center,
+                                 treering_profile=tr.profile)
+
+    nx, ny = ccd.bounds.width, ccd.bounds.height
+    cfg = PoolingConfig(xsize=nx, ysize=ny, batch_size=16_777_216,
+                        nbatch=6, nsub=4, fwhm=0.7)
+
+    def run(seed):
+        image, _ = render_ccd_pooled(seed, host, cfg, silicon=silicon,
+                                     tel=tel32, ctx=octx, screens=screens,
+                                     sk_table=sk)
+        sky = jnp.float32(17_500.0)   # ~700 e-/pix
+        grad = (jnp.float32(0), jnp.float32(0), jnp.float32(1))
+        vig = jnp.ones((ny, nx), jnp.float32)
+        image = _add_sky_and_noise(stream(seed, "sky"), image, sky, grad,
+                                   vig, 0.2)
+        return image
+
+    # Axon-tunnel benchmarking rules (hard-won):
+    #  * no eager ops in the timed region (fresh compiles cost ~60 s)
+    #  * NO device->host transfer anywhere before or inside the timed
+    #    region: a single scalar pull drops the tunnel out of async
+    #    dispatch and every later step costs ~5 s of round-trip
+    # block_until_ready() is safe and guarantees completion.
+    img = run(1)
+    img.block_until_ready()        # warmup / compile
 
     t0 = time.time()
-    img = render_ccd(42, host, cfg)
+    img = run(42)
     img.block_until_ready()
-    checksum = float(img[2048, 2048])  # force completion
     wall = time.time() - t0
+
+    checksum = float(img[2048, 2048])   # after timing: D2H is now ok
+    assert np.isfinite(checksum)
 
     photons_per_sec = total_photons / wall
     result = {
-        "metric": "single_ccd_visit_wallclock",
+        "metric": "single_ccd_visit_wallclock_fullphysics",
         "value": round(wall, 3),
-        "unit": "seconds (4Kx4K, 1e5 objects, %.2e photons; %.1f Mphot/s)"
-                % (total_photons, photons_per_sec / 1e6),
+        "unit": "seconds (4Kx4K, 1e5 obj, %.2e photons, atm+DCR+raytrace+"
+                "silicon BF+sky; %.1f Mphot/s)" % (total_photons,
+                                                   photons_per_sec / 1e6),
         "vs_baseline": round(10.0 / wall, 3),
     }
     print(json.dumps(result))

@@ -1,0 +1,133 @@
+"""Sky-catalog interface — imsim/skycat.py parity (SkyCatalogInterface).
+
+The reference queries the LSSTDESC skyCatalogs package: parquet files of
+objects with per-component GSObjects + SEDs, selected by a polygonal
+region around the CCD (imsim/skycat.py:88-107), flux = SED x bandpass x
+exptime x pupil area (:148-203).  That package isn't a dependency here;
+this module reads the same parquet data directly with pandas, with a
+configurable column mapping so DC2-era and newer schemas both load, and
+produces the framework's ObjectTable (galaxies become one Sersic
+component per catalog component row; knots supported).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.coords import DEG
+from .instcat import KNOTS, ObjectTable, POINT, SERSIC
+
+# default column mapping (DC2 / skyCatalogs-style names)
+DEFAULT_COLUMNS = dict(
+    id="id", ra="ra", dec="dec",
+    magnorm="magnorm",
+    sed="sed_filepath",
+    redshift="redshift",
+    obj_kind="object_type",        # 'star' | 'galaxy' | ...
+    hlr="size_true",               # arcsec (half-light radius)
+    sersic="sersic_index",
+    q="axis_ratio",
+    beta="position_angle",         # degrees
+    g1="shear_1", g2="shear_2", kappa="convergence",
+    mw_av="MW_av", mw_rv="MW_rv",
+)
+
+
+@dataclass
+class SkyCatalogInterface:
+    """Loads one or more parquet files and serves culled ObjectTables.
+
+    Parameters mirror the reference's loader options (skycat.py:302-306):
+    obj_types filter, edge_pix margin, mjd/exptime for flux, and the
+    'dc2 dilation' / flux-cache options are handled by the scene builder.
+    """
+
+    file_name: str | list
+    columns: dict | None = None
+    obj_types: tuple | None = None
+
+    def __post_init__(self):
+        import pandas as pd
+
+        files = ([self.file_name] if isinstance(self.file_name, str)
+                 else list(self.file_name))
+        frames = []
+        for f in files:
+            if not os.path.exists(f):
+                raise OSError(f"sky catalog not found: {f}")
+            if f.endswith((".parquet", ".pq")):
+                frames.append(pd.read_parquet(f))
+            else:
+                frames.append(pd.read_csv(f))
+        self.df = pd.concat(frames, ignore_index=True)
+        self.cols = dict(DEFAULT_COLUMNS)
+        if self.columns:
+            self.cols.update(self.columns)
+
+    def _get(self, name, default=None):
+        col = self.cols.get(name)
+        if col and col in self.df.columns:
+            return self.df[col].to_numpy()
+        return default
+
+    def to_object_table(self, wcs=None, xsize=4096, ysize=4096,
+                        edge_pix=100, logger=None) -> ObjectTable:
+        """Polygon-region cull (the pixel-box equivalent of
+        skycat.py:88-107) + schema conversion."""
+        n = len(self.df)
+        ra = self._get("ra") * DEG
+        dec = self._get("dec") * DEG
+        kind = self._get("obj_kind", np.array(["star"] * n, object))
+        kind = np.array([str(k).lower() for k in kind], object)
+        if self.obj_types:
+            keep_kind = np.isin(kind, [k.lower() for k in self.obj_types])
+        else:
+            keep_kind = np.ones(n, bool)
+
+        obj_type = np.where(kind == "galaxy", SERSIC,
+                            np.where(kind == "knots", KNOTS, POINT))
+        hlr = self._get("hlr", np.zeros(n))
+        sersic = self._get("sersic", np.ones(n))
+        q = self._get("q", np.ones(n))
+        beta = self._get("beta", np.zeros(n)) * DEG
+        g1 = self._get("g1", np.zeros(n))
+        g2 = self._get("g2", np.zeros(n))
+        kappa = self._get("kappa", np.zeros(n))
+        g1r = g1 / (1.0 - kappa)
+        g2r = g2 / (1.0 - kappa)
+        mu = 1.0 / np.maximum((1.0 - kappa) ** 2 - (g1**2 + g2**2), 1e-6)
+
+        sed = self._get("sed", np.array(["flatSED/sed_flat.txt"] * n,
+                                        object))
+        tab = ObjectTable(
+            id=np.asarray(self._get("id", np.arange(n)), object),
+            ra=ra, dec=dec, x=np.zeros(n), y=np.zeros(n),
+            magnorm=np.asarray(self._get("magnorm", np.full(n, 25.0)),
+                               float),
+            obj_type=obj_type.astype(np.int32),
+            p0=np.asarray(hlr, float),
+            p1=np.clip(np.asarray(sersic, float), 0.3, 6.2),
+            p2=np.clip(np.asarray(q, float), 0.05, 1.0),
+            p3=np.asarray(beta, float),
+            g1=g1r, g2=g2r, mu=mu,
+            sed_name=np.asarray(sed, object),
+            redshift=np.asarray(self._get("redshift", np.zeros(n)), float),
+            int_av=np.zeros(n), int_rv=np.full(n, 3.1),
+            mw_av=np.asarray(self._get("mw_av", np.zeros(n)), float),
+            mw_rv=np.asarray(self._get("mw_rv", np.full(n, 3.1)), float),
+        )
+        tab = tab.select(keep_kind)
+        if wcs is not None and len(tab):
+            x, y = wcs.radec_to_xy(tab.ra, tab.dec)
+            tab.x, tab.y = np.asarray(x, float), np.asarray(y, float)
+            keep = ((tab.x >= -edge_pix) & (tab.x <= xsize + edge_pix)
+                    & (tab.y >= -edge_pix) & (tab.y <= ysize + edge_pix))
+            tab = tab.select(keep)
+        if logger:
+            logger.info("skycat: %d objects kept", len(tab))
+        return tab
+
+    def getNObjects(self):
+        return len(self.df)

@@ -188,12 +188,61 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
     wcs = ctx.wcs_factory.get_wcs(ccd)
     octx = make_optics_context(ctx.wcs_factory, ccd)
     tel32 = ctx.wcs_factory.telescope.for_detector(det_name)
+    # the full optics chain (field-angle scene) only applies to the
+    # AtmosphericPSF; fallback PSFs use the image-domain fast path
+    use_optics = (cfg.get("psf", {}) or {}).get(
+        "type", "AtmosphericPSF") == "AtmosphericPSF"
+
+    # ---- flats (LSST_Flat image type, imsim/flat.py role) ----------------
+    if img_cfg.get("type") == "LSST_Flat":
+        from ..image.flat import FlatConfig, build_flat
+
+        tr = ctx.tree_rings.get(det_name)
+        sp = SiliconParams.make(treering_center=tr.center,
+                                treering_profile=tr.profile)
+        fcfg = FlatConfig(
+            counts_per_pixel=float(img_cfg.get("counts_per_pixel",
+                                               80_000.0)),
+            counts_per_iter=float(img_cfg.get("counts_per_iter", 1000.0)),
+            xsize=nx, ysize=ny, exptime=exptime)
+        flat = build_flat(ctx.seed + det_num, fcfg, sp, logger=logger)
+        result = dict(det_name=det_name, det_num=det_num,
+                      eimage=np.asarray(flat), wcs=wcs, modes=None,
+                      host=None, ccd=ccd, table=None)
+        if write:
+            write_outputs(ctx, result, logger)
+        return result
 
     # ---- catalog -> scene -------------------------------------------------
     cat_cfg = cfg.get("input", {}).get("instance_catalog", {}) or {}
+    sky_cfg = cfg.get("input", {}).get("sky_catalog", {}) or {}
     host = None
     table = None
-    if cat_cfg.get("file_name"):
+    if sky_cfg.get("file_name"):
+        from ..catalog.skycat import SkyCatalogInterface
+
+        skycat = SkyCatalogInterface(
+            sky_cfg["file_name"], columns=sky_cfg.get("columns"),
+            obj_types=tuple(sky_cfg["obj_types"])
+            if sky_cfg.get("obj_types") else None)
+        table = skycat.to_object_table(
+            wcs=wcs, xsize=nx, ysize=ny,
+            edge_pix=float(sky_cfg.get("edge_pix", 100)), logger=logger)
+        sed_dirs = sky_cfg.get("sed_dir") or \
+            os.environ.get("SIMS_SED_LIBRARY_DIR", ".")
+        if isinstance(sed_dirs, str):
+            sed_dirs = [sed_dirs]
+        host = scene_mod.build_scene(
+            table, ctx.bandpass, sed_dirs, exptime=exptime,
+            rng=np.random.default_rng(ctx.seed + det_num))
+        if use_optics:
+            thx, thy = ctx.wcs_factory.icrf_to_field(table.ra, table.dec)
+            params = np.array(host.scene.params)
+            params[:len(table), 0] = thx
+            params[:len(table), 1] = thy
+            host.scene = dataclasses.replace(
+                host.scene, params=jnp.asarray(params))
+    elif cat_cfg.get("file_name"):
         table = read_instcat(cat_cfg["file_name"], wcs=wcs, xsize=nx,
                              ysize=ny,
                              edge_pix=float(cat_cfg.get("edge_pix", 100)),
@@ -208,12 +257,13 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
             table, ctx.bandpass, sed_dirs, exptime=exptime,
             rng=np.random.default_rng(ctx.seed + det_num))
         # optics chain wants field angles in COL_X/COL_Y
-        thx, thy = ctx.wcs_factory.icrf_to_field(table.ra, table.dec)
-        params = np.array(host.scene.params)
-        params[:len(table), 0] = thx
-        params[:len(table), 1] = thy
-        host.scene = dataclasses.replace(
-            host.scene, params=jnp.asarray(params))
+        if use_optics:
+            thx, thy = ctx.wcs_factory.icrf_to_field(table.ra, table.dec)
+            params = np.array(host.scene.params)
+            params[:len(table), 0] = thx
+            params[:len(table), 1] = thy
+            host.scene = dataclasses.replace(
+                host.scene, params=jnp.asarray(params))
     elif "scene_host" in ctx.view.state:
         host = ctx.view.state["scene_host"]
 
@@ -249,10 +299,31 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
                                ctx.bandpass.effective_wavelength)
         sk_table = dataclasses.replace(sk, y=jnp.asarray(sk.y))
 
+    # fallback PSF families use the fast image-domain path (no raytrace):
+    # DoubleGaussianPSF / KolmogorovPSF (imsim/atmPSF.py:448-538)
+    psf_cfg = cfg.get("psf", {}) or {}
+    psf_type = psf_cfg.get("type", "AtmosphericPSF")
+    if psf_type == "DoubleGaussianPSF":
+        from ..photons.profiles import radial_cdf_from_mtf
+        f1 = float(psf_cfg.get("fwhm1", ctx.opsim.get("FWHMgeom", 0.6)))
+        f2 = float(psf_cfg.get("fwhm2", 2 * f1))
+        w1 = float(psf_cfg.get("wgt1", 0.8))
+        s1 = f1 / 2.3548200450309493
+        s2 = f2 / 2.3548200450309493
+        T = lambda k: (w1 * np.exp(-0.5 * (s1 * k) ** 2)
+                       + (1 - w1) * np.exp(-0.5 * (s2 * k) ** 2))
+        tab = radial_cdf_from_mtf(T, r_max=8 * f2, k_max=40.0 / f1)
+        pcfg = dataclasses.replace(
+            pcfg, psf_table=dataclasses.replace(tab,
+                                                y=jnp.asarray(tab.y)))
+
     if host is not None and host.n_objects > 0:
         image, modes = render_ccd_pooled(
-            ctx.seed + det_num, host, pcfg, silicon=silicon, tel=tel32,
-            ctx=octx, screens=ctx.screens, sk_table=sk_table,
+            ctx.seed + det_num, host, pcfg, silicon=silicon,
+            tel=tel32 if use_optics else None,
+            ctx=octx if use_optics else None,
+            screens=ctx.screens if use_optics else None,
+            sk_table=sk_table if use_optics else None,
             checkpointer=ckpt, logger=logger)
     else:
         image, modes = jnp.zeros((ny, nx), jnp.float32), None
@@ -370,6 +441,51 @@ def write_outputs(ctx: VisitContext, result, logger=None):
         rname = _format_name(r_cfg.get("file_name", "amp.fits"), ctx,
                              det_name, det_num)
         write_fits(os.path.join(outdir, rname), hdus)
+
+    # OPD maps + annular Zernikes (the `opd` extra output, imsim/opd.py)
+    opd_cfg = out_cfg.get("opd") or {}
+    if opd_cfg.get("enabled"):
+        from ..optics.opd import annular_zernikes, opd_fits_header, opd_map
+
+        fields = opd_cfg.get("fields", [[0.0, 0.0]])
+        wl = float(opd_cfg.get("wavelength",
+                               ctx.bandpass.effective_wavelength))
+        tel = ctx.wcs_factory.telescope.fiducial
+        hdus = [HDU(None, is_primary=True)]
+        for (fx_deg, fy_deg) in fields:
+            thx = fx_deg * DEG
+            thy = fy_deg * DEG
+            img, mask, _, _ = opd_map(tel, thx, thy, wl,
+                                      nx=int(opd_cfg.get("nx", 255)))
+            hdr = opd_fits_header(thx, thy, wl,
+                                  jmax=int(opd_cfg.get("jmax", 28)))
+            zk = annular_zernikes(tel, thx, thy, wl,
+                                  jmax=int(opd_cfg.get("jmax", 28)),
+                                  nx=65)
+            for j, c in enumerate(zk, start=1):
+                hdr[f"AZ_{j:03d}"] = float(c)
+            hdus.append(HDU(np.nan_to_num(img).astype(np.float32),
+                            header=hdr))
+        oname = _format_name(opd_cfg.get("file_name", "opd.fits"), ctx,
+                             det_name, det_num)
+        write_fits(os.path.join(outdir, oname), hdus)
+
+    # surface sag maps (the `sag` extra output, imsim/sag.py)
+    sag_cfg = out_cfg.get("sag") or {}
+    if sag_cfg.get("enabled"):
+        from ..optics.opd import surface_sag_map
+
+        tel = ctx.wcs_factory.telescope.fiducial
+        hdus = [HDU(None, is_primary=True)]
+        for sname in sag_cfg.get("surfaces", ["M1", "M2", "M3"]):
+            sag, mask, u = surface_sag_map(tel, sname,
+                                           nx=int(sag_cfg.get("nx", 255)))
+            hdus.append(HDU(np.nan_to_num(sag).astype(np.float32),
+                            header={"SURFACE": sname, "UNITS": "m",
+                                    "RMAX": float(u[-1])}, name=sname))
+        sname_out = _format_name(sag_cfg.get("file_name", "sag.fits"),
+                                 ctx, det_name, det_num)
+        write_fits(os.path.join(outdir, sname_out), hdus)
 
     # truth catalog ("centroid" file, config/imsim-config.yaml:370-393)
     t_cfg = out_cfg.get("truth", {}) or {}

@@ -23,6 +23,7 @@ imsim/photon_pooling.py (LSST_PhotonPoolingImageBuilder):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import numpy as np
 
@@ -55,6 +56,10 @@ class PoolingConfig:
     fwhm: float = 0.8
     gauss_fwhm: float = 0.3
     nbatch_per_checkpoint: int = 1
+    # optional override of the fast-path isotropic PSF radial table
+    # (DoubleGaussianPSF / KolmogorovPSF fallback families,
+    # imsim/atmPSF.py:448-538)
+    psf_table: object = None
 
 
 def classify_objects(host: SceneHost, cfg: PoolingConfig,
@@ -75,7 +80,12 @@ def classify_objects(host: SceneHost, cfg: PoolingConfig,
 def make_strided_batches(host: SceneHost, modes, cfg: PoolingConfig):
     """Photon->(batch, slot) assignment with bright-object flux spread
     across all batches (the 1/nbatch split of photon_pooling.py:279-304,
-    realized exactly by striding the object-major photon list)."""
+    realized exactly by striding the object-major photon list).
+
+    Host-side variant kept for tests; the production path computes the
+    same assignment ON DEVICE from the cumulative counts (see
+    batch_obj_assignment) so no 100+ MB index array crosses the host
+    boundary per batch."""
     sel = modes != FFT
     counts = np.where(sel, host.flux[:host.n_objects], 0).astype(np.int64)
     obj_of_photon = np.repeat(
@@ -83,8 +93,7 @@ def make_strided_batches(host: SceneHost, modes, cfg: PoolingConfig):
     total = len(obj_of_photon)
     if total == 0:
         return
-    nb = max(min(cfg.nbatch, -(-total // cfg.batch_size) * 4), 1)
-    nb = min(nb, max(total, 1))
+    nb = pick_nbatch(total, cfg)
     for b in range(nb):
         sl = obj_of_photon[b::nb]
         size = int(np.ceil(total / nb))
@@ -93,6 +102,28 @@ def make_strided_batches(host: SceneHost, modes, cfg: PoolingConfig):
         idx[:len(sl)] = sl
         w[:len(sl)] = 1.0
         yield jnp.asarray(idx), jnp.asarray(w)
+
+
+def pick_nbatch(total: int, cfg: PoolingConfig) -> int:
+    """At least enough batches that each fits batch_size; at least
+    cfg.nbatch (the BF-recalc/checkpoint granularity) when there are
+    enough photons to make that meaningful."""
+    need = max(-(-total // cfg.batch_size), 1)
+    return max(need, min(cfg.nbatch, max(total, 1)))
+
+
+def batch_obj_assignment(cum_counts, total, b, nb, batch_size):
+    """Device-side strided photon->object map for batch b of nb:
+    global photon index g = b + nb*slot; object = the bin of g in the
+    cumulative per-object counts (binary search instead of a host
+    np.repeat + 134 MB transfer per batch).  int32 throughout: valid to
+    2^31 photons per CCD."""
+    s = jnp.arange(batch_size, dtype=jnp.int32)
+    g = b + nb * s
+    alive = g < total
+    obj = jnp.searchsorted(cum_counts, g, side="right").astype(jnp.int32)
+    obj = jnp.minimum(obj, cum_counts.shape[0] - 1)
+    return obj, alive.astype(jnp.float32)
 
 
 def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
@@ -105,7 +136,8 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
     fast path (render.shoot).  With `silicon` the BF/tree-ring/diffusion
     sensor accumulates; else the simple binner."""
     kolm = P.kolmogorov_cdf()
-    kolm_as = dataclasses.replace(kolm, y=kolm.y * cfg.fwhm)
+    kolm_as = cfg.psf_table if cfg.psf_table is not None else \
+        dataclasses.replace(kolm, y=kolm.y * cfg.fwhm)
     gauss_sigma = cfg.gauss_fwhm / 2.3548200450309493
     psf_mtf = None
     if cfg.fft_sb_thresh > 0:
@@ -128,31 +160,60 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
         image = _fft_pass(image, host, modes, cfg, psf_mtf, logger)
 
     # ---- pooled photon pass ---------------------------------------------
-    batches = list(make_strided_batches(host, modes, cfg))
-    for b, (obj_idx, weight) in enumerate(batches):
-        if b < start_batch:
-            continue
+    # ONE fused jit per batch: device-side photon->object assignment +
+    # the whole physics chain + sensor accumulate.  Nothing crosses the
+    # host boundary per batch but a handful of scalars.
+    sel = np.asarray(modes) != FFT
+    counts = np.where(sel, host.flux[:host.n_objects], 0).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return image, modes
+    nb = pick_nbatch(total, cfg)
+    batch_size = int(np.ceil(total / nb))
+    cum = np.zeros(host.scene.n, np.int32)
+    cum[:host.n_objects] = np.cumsum(counts)
+    cum[host.n_objects:] = cum[host.n_objects - 1] if host.n_objects else 0
+    cum_dev = jnp.asarray(cum)
+
+    psf_tables = {"kolmogorov": dataclasses.replace(
+        kolm_as, y=jnp.asarray(kolm_as.y)), "gauss_sigma": gauss_sigma}
+    for b in range(start_batch, nb):
         key = stream(seed, "photons", b)
-        if tel is not None and ctx is not None:
-            photons = render.shoot_full(
-                key, host.scene, obj_idx, weight, tel, ctx,
-                screens=screens, sk_table=sk_table, exptime=cfg.exptime)
-        else:
-            photons = render.shoot(
-                key, host.scene, obj_idx, weight,
-                {"kolmogorov": kolm_as, "gauss_sigma": gauss_sigma},
-                exptime=cfg.exptime, pixel_scale=cfg.pixel_scale)
-        if silicon is not None:
-            image = accumulate_silicon(stream(seed, "si", b), photons,
-                                       image, silicon, nsub=cfg.nsub)
-        else:
-            image = accumulate(photons, image)
+        image = _pooled_batch_step(
+            key, stream(seed, "si", b), host.scene, cum_dev,
+            jnp.int32(total), jnp.int32(b), nb, batch_size, tel, ctx,
+            screens, sk_table, psf_tables["kolmogorov"],
+            jnp.float32(gauss_sigma), silicon, image,
+            cfg.exptime, cfg.pixel_scale, cfg.nsub)
         if checkpointer is not None and \
                 (b + 1) % cfg.nbatch_per_checkpoint == 0:
             image.block_until_ready()
             checkpointer.save(checkpoint_key, dict(
                 image=np.asarray(image), next_batch=b + 1))
     return image, modes
+
+
+@partial(jax.jit, static_argnames=("nb", "batch_size", "exptime",
+                                   "pixel_scale", "nsub"))
+def _pooled_batch_step(key, si_key, scene, cum_counts, total, b, nb,
+                       batch_size, tel, ctx, screens, sk_table,
+                       kolm_table, gauss_sigma, silicon, image,
+                       exptime, pixel_scale, nsub):
+    obj_idx, weight = batch_obj_assignment(cum_counts, total, b, nb,
+                                           batch_size)
+    if tel is not None and ctx is not None:
+        photons = render.shoot_full(
+            key, scene, obj_idx, weight, tel, ctx, screens=screens,
+            sk_table=sk_table, exptime=exptime)
+    else:
+        photons = render.shoot(
+            key, scene, obj_idx, weight,
+            {"kolmogorov": kolm_table, "gauss_sigma": gauss_sigma},
+            exptime=exptime, pixel_scale=pixel_scale)
+    if silicon is not None:
+        return accumulate_silicon(si_key, photons, image, silicon,
+                                  nsub=nsub)
+    return accumulate(photons, image)
 
 
 def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, logger=None):

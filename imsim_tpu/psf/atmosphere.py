@@ -196,6 +196,21 @@ def first_kick(photons: PhotonBatch, screens: AtmScreens,
                            y=photons.y + ddy / arcsec / pixel_scale)
 
 
+def save_screens(path: str, screens: AtmScreens) -> None:
+    """Persist screens (the reference pickles its phase screens so a
+    multi-CCD run instantiates them once, imsim/atmPSF.py:149-162)."""
+    np.savez_compressed(path, grad=np.asarray(screens.grad),
+                        winds=np.asarray(screens.winds),
+                        scale=screens.scale, size=screens.size)
+
+
+def load_screens(path: str) -> AtmScreens:
+    z = np.load(path)
+    return AtmScreens(grad=jnp.asarray(z["grad"]),
+                      winds=jnp.asarray(z["winds"]),
+                      scale=float(z["scale"]), size=float(z["size"]))
+
+
 def second_kick_table(cfg: AtmConfig, lam_nm: float, diam=8.36,
                       obscuration=0.612):
     r0_500 = solve_r0_500(cfg.fwhm, cfg.L0)

@@ -1,0 +1,78 @@
+"""Flat-field builder + sky-catalog interface tests (reference analogs:
+tests/test_flat.py BF photon-transfer behavior, tests/test_skycat.py)."""
+import numpy as np
+import pytest
+
+from imsim_tpu.catalog.instcat import POINT, SERSIC
+from imsim_tpu.catalog.skycat import SkyCatalogInterface
+from imsim_tpu.image.flat import FlatConfig, build_flat, flat_statistics
+from imsim_tpu.sensor.silicon import SiliconParams
+
+
+def test_flat_brighter_fatter_ptc():
+    """The BF pixel-area coupling must suppress variance below Poisson
+    (photon transfer curve bends down) while conserving the mean."""
+    cfg = FlatConfig(counts_per_pixel=40_000.0, counts_per_iter=2000.0,
+                     xsize=256, ysize=256)
+    params = SiliconParams.make(bf_strength=1.1)
+    img = build_flat(3, cfg, params)
+    st = flat_statistics(img)
+    assert abs(st["mean"] - 40_000.0) < 200.0
+    # pure Poisson would give var/mean = 1; BF smoothing pulls it below
+    assert st["var_over_mean"] < 0.97, st
+    # no-BF control stays Poisson
+    p0 = SiliconParams.make(bf_strength=0.0)
+    st0 = flat_statistics(build_flat(3, cfg, p0))
+    assert abs(st0["var_over_mean"] - 1.0) < 0.03, st0
+
+
+def test_skycat_parquet_roundtrip(tmp_path):
+    import pandas as pd
+
+    n = 50
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(dict(
+        id=np.arange(n),
+        ra=30.0 + rng.uniform(-0.1, 0.1, n),
+        dec=-20.0 + rng.uniform(-0.1, 0.1, n),
+        magnorm=rng.uniform(20, 25, n),
+        object_type=np.where(rng.uniform(size=n) < 0.4, "star", "galaxy"),
+        sed_filepath=["flatSED/sed_flat.txt"] * n,
+        redshift=rng.uniform(0, 1, n),
+        size_true=rng.uniform(0.1, 1.0, n),
+        sersic_index=rng.uniform(0.5, 4.0, n),
+        axis_ratio=rng.uniform(0.3, 1.0, n),
+        position_angle=rng.uniform(0, 180, n),
+        shear_1=rng.normal(0, 0.02, n),
+        shear_2=rng.normal(0, 0.02, n),
+        convergence=rng.normal(0, 0.01, n),
+        MW_av=rng.uniform(0, 0.2, n),
+        MW_rv=np.full(n, 3.1),
+    ))
+    p = str(tmp_path / "cat.parquet")
+    df.to_parquet(p)
+
+    sc = SkyCatalogInterface(p)
+    assert sc.getNObjects() == n
+    tab = sc.to_object_table()
+    assert len(tab) == n
+    stars = tab.obj_type == POINT
+    gals = tab.obj_type == SERSIC
+    assert stars.sum() + gals.sum() == n
+    # galaxies carry profile params; lensing converted to reduced shear
+    assert np.all(tab.p0[gals] > 0)
+    assert np.all((tab.p1[gals] >= 0.3) & (tab.p1[gals] <= 6.2))
+    assert np.all(np.abs(tab.mu - 1.0) < 0.2)
+
+    # obj_types filter
+    sc2 = SkyCatalogInterface(p, obj_types=("star",))
+    assert len(sc2.to_object_table()) == int(stars.sum())
+
+    # pixel-box cull with a simple WCS
+    class FakeWCS:
+        def radec_to_xy(self, ra, dec):
+            return ((ra - 30.0 * np.pi / 180) / 5.5e-5 / (np.pi / 180) + 2000,
+                    (dec + 20.0 * np.pi / 180) / 5.5e-5 / (np.pi / 180) + 2000)
+    tab3 = sc.to_object_table(wcs=FakeWCS(), xsize=4000, ysize=4000,
+                              edge_pix=50)
+    assert 0 < len(tab3) <= n
