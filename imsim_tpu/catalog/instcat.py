@@ -79,6 +79,9 @@ class ObjectTable:
     int_rv: np.ndarray = field(default_factory=lambda: np.zeros(0))
     mw_av: np.ndarray = field(default_factory=lambda: np.zeros(0))
     mw_rv: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    # FITS-postage-stamp objects: file path per object ('' otherwise)
+    image_file: np.ndarray = field(
+        default_factory=lambda: np.array([], object))
 
     def __len__(self):
         return len(self.magnorm)
@@ -118,7 +121,8 @@ def read_instcat(file_name, wcs=None, xsize=4096, ysize=4096, edge_pix=100,
     rows = {k: [] for k in ("id", "ra", "dec", "magnorm", "obj_type",
                             "p0", "p1", "p2", "p3", "g1", "g2", "mu",
                             "sed_name", "redshift",
-                            "int_av", "int_rv", "mw_av", "mw_rv")}
+                            "int_av", "int_rv", "mw_av", "mw_rv",
+                            "image_file")}
     ntot = 0
     for line in _open_lines(file_name):
         if " inf " in line:
@@ -195,6 +199,7 @@ def read_instcat(file_name, wcs=None, xsize=4096, ysize=4096, edge_pix=100,
         rows["g2"].append(g2r)
         rows["mu"].append(mu)
         rows["sed_name"].append((sed_name, tname if code == FITSIMAGE else ""))
+        rows["image_file"].append(tokens[12] if code == FITSIMAGE else "")
         rows["redshift"].append(redshift)
         rows["int_av"].append(iav)
         rows["int_rv"].append(irv)
@@ -217,6 +222,7 @@ def read_instcat(file_name, wcs=None, xsize=4096, ysize=4096, edge_pix=100,
         redshift=np.array(rows["redshift"]),
         int_av=np.array(rows["int_av"]), int_rv=np.array(rows["int_rv"]),
         mw_av=np.array(rows["mw_av"]), mw_rv=np.array(rows["mw_rv"]),
+        image_file=np.array(rows["image_file"], object),
     )
 
     if wcs is not None and len(tab):

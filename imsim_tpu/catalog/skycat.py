@@ -117,6 +117,7 @@ class SkyCatalogInterface:
             int_av=np.zeros(n), int_rv=np.full(n, 3.1),
             mw_av=np.asarray(self._get("mw_av", np.zeros(n)), float),
             mw_rv=np.asarray(self._get("mw_rv", np.full(n, 3.1)), float),
+            image_file=np.array([""] * n, object),
         )
         tab = tab.select(keep_kind)
         if wcs is not None and len(tab):

@@ -176,4 +176,41 @@ def _photon_dcr(node, view):
 
 @register_photon_op("BandpassRatio")
 def _bandpass_ratio(node, view):
-    return dict(kind="bandpass_ratio", node=node)
+    """The reference reweights photon fluxes rendered with a fiducial
+    (airmass 1.2) bandpass to the visit bandpass (photon_ops.py:506-533).
+    Here photon wavelengths are sampled from SED x the *visit* bandpass
+    directly (scene builder), so the op is an identity kept for config
+    compatibility."""
+    return dict(kind="identity")
+
+
+# stamp / image / output type names (the pooled builder subsumes the
+# per-stamp machinery; names kept so reference configs parse):
+@register_stamp("LSST_Silicon")
+def _stamp_silicon(node, view):
+    return dict(kind="pooled", sensor="silicon")
+
+
+@register_stamp("LSST_Photons")
+def _stamp_photons(node, view):
+    return dict(kind="pooled", sensor="none", save_photons=True)
+
+
+@register_image("LSST_Image")
+def _image_scattered(node, view):
+    return dict(kind="pooled")
+
+
+@register_image("LSST_PhotonPoolingImage")
+def _image_pooled(node, view):
+    return dict(kind="pooled")
+
+
+@register_image("LSST_Flat")
+def _image_flat(node, view):
+    return dict(kind="flat")
+
+
+@register_output("LSST_CCD")
+def _output_ccd(node, view):
+    return dict(kind="ccd")

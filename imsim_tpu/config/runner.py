@@ -97,6 +97,12 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
         perturbations=tcfg.get("perturbations", ()) or (),
         fea=tcfg.get("fea"), rotTelPos=rotTelPos,
         focusZ=float(tcfg.get("focusZ", 0.0)))
+    # parametric AOS wavefront (the doOpt hook, imsim/atmPSF.py:37-80)
+    acfg0 = cfg.get("input", {}).get("atm_psf", {}) or {}
+    if acfg0.get("doOpt"):
+        from ..optics.aos import OpticalZernikes
+
+        OpticalZernikes(seed=seed).apply_to(telescope)
 
     # --- WCS factory ----------------------------------------------------------
     ra = float(ods.get("fieldRA", 0.0)) * DEG

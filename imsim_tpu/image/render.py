@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..catalog.instcat import SERSIC, KNOTS, STREAK
+from ..catalog.instcat import SERSIC, KNOTS, STREAK, FITSIMAGE
 from ..photons import profiles as P
 from ..photons.batch import PhotonBatch
 from .scene import (DeviceScene, COL_X, COL_Y, COL_TYPE, COL_P0, COL_P1,
@@ -68,10 +68,12 @@ def _sample_sersic_flat(key, srs_n, hlr, dtype=jnp.float32):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2):
+def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
+                     aux_cloud=None):
     """Sample profile offsets (in pixels) for a pooled photon batch.
 
     row: (N, N_COLS) gathered per-photon object parameters.
+    aux_cloud: (M, CLOUD_K, 2) FITS-stamp point clouds (arcsec).
 
     Computes each family's sample and selects by object type — the Sersic
     path is the only expensive one and dominates anyway; points are free.
@@ -127,15 +129,28 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2):
     dx = jnp.where(t == STREAK, bx, dx)
     dy = jnp.where(t == STREAK, by, dy)
 
-    # intrinsic ellipticity (sersic/knots only)
+    # --- FITS postage stamps: gather from the per-object point cloud ----
+    if aux_cloud is not None and aux_cloud.shape[0] > 1:
+        Kc = aux_cloud.shape[1]
+        cloud_row = row[:, COL_P2].astype(jnp.int32)
+        pick_c = (jax.random.uniform(k_pick, (n,))
+                  * Kc).astype(jnp.int32) % Kc
+        flat_c = aux_cloud.reshape(-1, 2)
+        g = flat_c[jnp.clip(cloud_row, 0, aux_cloud.shape[0] - 1) * Kc
+                   + pick_c]
+        dx = jnp.where(t == FITSIMAGE, g[:, 0], dx)
+        dy = jnp.where(t == FITSIMAGE, g[:, 1], dy)
+
+    # intrinsic ellipticity (sersic/knots only; FITS clouds carry theirs)
     is_ell = (t == SERSIC) | (t == KNOTS)
     ex, ey = P.apply_ellipse(dx, dy, jnp.where(is_ell, q, 1.0),
                              jnp.where(is_ell, beta, 0.0))
-    # lensing
+    # lensing applies to every extended type
+    is_lensed = is_ell | (t == FITSIMAGE)
     gx, gy = P.apply_shear_mag(ex, ey, row[:, COL_G1], row[:, COL_G2],
                                row[:, COL_MU])
-    dx = jnp.where(is_ell, gx, ex)
-    dy = jnp.where(is_ell, gy, ey)
+    dx = jnp.where(is_lensed, gx, ex)
+    dy = jnp.where(is_lensed, gy, ey)
     return dx / pixel_scale, dy / pixel_scale  # arcsec -> pixels
 
 
@@ -156,7 +171,8 @@ def shoot(key, scene: DeviceScene, obj_idx: jax.Array, weight: jax.Array,
     row = scene.params[obj_idx]  # ONE row-gather for all scalar params
 
     # intrinsic + lensing offsets
-    dx, dy = sample_intrinsic(keys[0], row, obj_idx, pixel_scale)
+    dx, dy = sample_intrinsic(keys[0], row, obj_idx, pixel_scale,
+                              aux_cloud=scene.aux_cloud)
 
     # PSF: Kolmogorov kick + gaussian kick (arcsec -> pixels)
     kx, ky = P.sample_radial(keys[1], n, psf_tables["kolmogorov"])
@@ -218,7 +234,8 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
     thy = row[:, COL_Y]
 
     # intrinsic + lensing offsets in arcsec (pixel_scale=1 -> arcsec)
-    dx_as, dy_as = sample_intrinsic(keys[0], row, obj_idx, pixel_scale=1.0)
+    dx_as, dy_as = sample_intrinsic(keys[0], row, obj_idx, pixel_scale=1.0,
+                                    aux_cloud=scene.aux_cloud)
     thx = thx + dx_as * arcsec
     thy = thy + dy_as * arcsec
 

@@ -18,7 +18,8 @@ from ..catalog import instcat as ic
 from ..catalog.bandpass import Bandpass
 from ..catalog.sed import SED, build_object_sed
 
-WL_CDF_K = 96  # inverse-CDF table size for photon wavelength sampling
+WL_CDF_K = 96   # inverse-CDF table size for photon wavelength sampling
+CLOUD_K = 1024  # point-cloud size for FITS-postage-stamp objects
 
 
 # Column layout of the packed per-object parameter matrix.  Packing all
@@ -38,13 +39,17 @@ class DeviceScene:
     obj_type codes follow catalog.instcat; p0..p3 as documented there).
     wl_icdf[(i, k)] is the inverse CDF of the object's photon wavelength
     distribution (SED x bandpass) at u = k/(K-1).
+    aux_cloud: (M, CLOUD_K, 2) arcsec offsets for FITS-postage-stamp
+    objects (each pre-scaled/rotated point cloud sampled from the image
+    pixels; COL_P2 of a FITSIMAGE row is its cloud index).
     """
 
     params: jax.Array     # (n, N_COLS) float32
     wl_icdf: jax.Array    # (n, K)
+    aux_cloud: jax.Array  # (M, CLOUD_K, 2)
 
     def tree_flatten(self):
-        return (self.params, self.wl_icdf), None
+        return (self.params, self.wl_icdf, self.aux_cloud), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -69,11 +74,14 @@ class DeviceScene:
 
     @classmethod
     def from_columns(cls, x, y, obj_type, p0, p1, p2, p3, g1, g2, mu,
-                     wl_icdf):
+                     wl_icdf, aux_cloud=None):
         cols = [x, y, obj_type, p0, p1, p2, p3, g1, g2, mu]
         params = jnp.stack([jnp.asarray(c, jnp.float32) for c in cols],
                            axis=1)
-        return cls(params=params, wl_icdf=jnp.asarray(wl_icdf))
+        if aux_cloud is None:
+            aux_cloud = np.zeros((1, CLOUD_K, 2), np.float32)
+        return cls(params=params, wl_icdf=jnp.asarray(wl_icdf),
+                   aux_cloud=jnp.asarray(aux_cloud, jnp.float32))
 
 
 @dataclasses.dataclass
@@ -98,6 +106,28 @@ def _wavelength_icdf(sed: SED, bp: Bandpass, k: int = WL_CDF_K) -> np.ndarray:
     u = np.linspace(0, 1, k)
     eps = np.arange(len(cdf)) * 1e-14
     return np.interp(u, cdf + eps, w)
+
+
+def _fits_point_cloud(path: str, pixel_scale_as: float, theta_rad: float,
+                      rng: np.random.Generator) -> np.ndarray:
+    """(CLOUD_K, 2) arcsec offsets sampled proportionally to the FITS
+    image's pixel fluxes, with sub-pixel jitter and the catalog's
+    pixel scale + rotation baked in (the InterpolatedImage-equivalent
+    photon-shooting representation for instcat 'name.fits' objects,
+    imsim/instcat.py:467-576)."""
+    from ..io.fits import read_fits
+
+    hdr, data = read_fits(path)[0]
+    img = np.clip(np.asarray(data, np.float64), 0.0, None)
+    ny, nx = img.shape
+    p = img.ravel() / img.sum()
+    idx = rng.choice(p.size, size=CLOUD_K, p=p)
+    iy, ix = np.divmod(idx, nx)
+    x = ix - (nx - 1) / 2 + rng.uniform(-0.5, 0.5, CLOUD_K)
+    y = iy - (ny - 1) / 2 + rng.uniform(-0.5, 0.5, CLOUD_K)
+    c, s = np.cos(theta_rad), np.sin(theta_rad)
+    return np.stack([(c * x - s * y), (s * x + c * y)],
+                    -1).astype(np.float32) * pixel_scale_as
 
 
 def build_scene(table: ic.ObjectTable, bp: Bandpass, sed_dirs,
@@ -136,13 +166,25 @@ def build_scene(table: ic.ObjectTable, bp: Bandpass, sed_dirs,
 
     wl_pad = np.full((n_pad, WL_CDF_K), 622.0, np.float32)
     wl_pad[:n] = wl
+
+    # FITS-postage-stamp objects -> point clouds; COL_P2 holds the index
+    p2 = np.array(table.p2, float)
+    clouds = [np.zeros((CLOUD_K, 2), np.float32)]
+    if len(getattr(table, "image_file", [])) == n:
+        for i in np.nonzero(table.obj_type == ic.FITSIMAGE)[0]:
+            clouds.append(_fits_point_cloud(
+                str(table.image_file[i]), float(table.p0[i]),
+                float(table.p1[i]), rng))
+            p2[i] = len(clouds) - 1
+
     scene = DeviceScene.from_columns(
         x=pad(table.x), y=pad(table.y),
         obj_type=pad(table.obj_type),
         p0=pad(table.p0), p1=pad(np.maximum(table.p1, 0.3001)),
-        p2=pad(table.p2, 1.0), p3=pad(table.p3),
+        p2=pad(p2, 1.0), p3=pad(table.p3),
         g1=pad(table.g1), g2=pad(table.g2), mu=pad(table.mu, 1.0),
         wl_icdf=wl_pad,
+        aux_cloud=np.stack(clouds),
     )
     return SceneHost(scene=scene, flux=realized, nominal_flux=nominal,
                      n_objects=n)
