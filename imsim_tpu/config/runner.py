@@ -26,8 +26,7 @@ import jax.numpy as jnp
 from ..catalog import opsim as opsim_mod
 from ..catalog.bandpass import rubin_bandpass
 from ..catalog.instcat import read_instcat
-from ..electronics.camera import (PIXEL_SIZE_MM, get_camera,
-                                  pixel_to_focal_mm)
+from ..electronics.camera import PIXEL_SIZE_MM, get_camera
 from ..electronics.readout import CcdReadout
 from ..image import scene as scene_mod
 from ..image.ccd_render import _add_sky_and_noise
@@ -41,8 +40,7 @@ from ..io.fits import HDU, write_fits
 from ..optics.loader import load_telescope
 from ..optics.wcs_factory import WCSFactory, make_wcs_factory
 from ..photons.optics_ops import make_optics_context
-from ..psf.atmosphere import AtmConfig, make_screens, second_kick_table, \
-    solve_r0_500
+from ..psf.atmosphere import AtmConfig, make_screens, second_kick_table
 from ..sensor.silicon import SiliconParams
 from ..sensor.treerings import TreeRings
 from ..utils.rng import stream

@@ -19,7 +19,6 @@ z = z0 with sag measured along +z in its local frame.
 """
 from __future__ import annotations
 
-import numpy as np
 
 # fixed Newton iteration count: rays are near-paraxial after the first
 # sphere-intersection guess; 4 iterations converge to <1e-12 m in f64

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..utils.zernike import fit_zernikes, zernike_xy_coeffs, _poly2d
+from ..utils.zernike import fit_zernikes
 from .telescope import Telescope
 from .trace import rays_from_field, trace
 

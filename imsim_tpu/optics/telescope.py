@@ -23,7 +23,6 @@ import dataclasses
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 MIRROR, REFRACT_IN, REFRACT_OUT, DETECTOR = 0, 1, 2, 3
 # media tags: what the ray is in *after* the surface

@@ -13,8 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..electronics.camera import (CCD, PIXEL_SIZE_MM, focal_mm_to_pixel,
-                                  pixel_to_focal_mm)
+from ..electronics.camera import CCD, PIXEL_SIZE_MM, focal_mm_to_pixel
 from ..utils.coords import gnomonic_deproject, gnomonic_project
 from .astrometry import Observation
 from .loader import LoadedTelescope

@@ -25,7 +25,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..photons import profiles as Pr
 from ..sensor.simple import accumulate
-from .. import image as _image  # noqa: F401
 from ..image import render
 from ..image.scene import DeviceScene
 

@@ -14,7 +14,6 @@ scene if common) is replicated.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
@@ -23,9 +22,9 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..image import render
-from ..sensor.silicon import SiliconParams, accumulate_silicon
+from ..sensor.silicon import accumulate_silicon
 from ..sensor.simple import accumulate
-from .mesh import make_mesh, stack_scenes
+from .mesh import stack_scenes
 
 
 def stack_pytrees(items):
@@ -49,8 +48,6 @@ def sharded_full_step(mesh: Mesh, xsize: int, ysize: int,
     traces its photons through the shared optics and the partial images
     psum over the 'phot' axis.
     """
-    from ..psf.atmosphere import AtmScreens
-
     def per_shard(key, scene, obj_idx, weight, tel, ctx, screens, sk_y,
                   sil, image):
         key = key[0]
@@ -97,7 +94,6 @@ def run_visit_sharded(ctx_list, host_list, mesh: Mesh, cfg,
     Returns (n_ccd, H, W) images.  Batch loop stays on host; every batch
     is one sharded device step (the output.nproc-with-batching analog).
     """
-    from ..image.photon_pooling import make_strided_batches
     from ..image.scene import make_photon_batches
 
     n_ccd = len(host_list)

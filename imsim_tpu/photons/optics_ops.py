@@ -14,7 +14,6 @@ detector surface directly.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import numpy as np
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import special
 
-from ..utils.lookup import UniformTable, inverse_cdf_table
+from ..utils.lookup import UniformTable
 
 # ----------------------------------------------------------------------------
 # Host-side CDF construction
