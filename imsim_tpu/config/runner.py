@@ -333,9 +333,14 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
         image, modes = jnp.zeros((ny, nx), jnp.float32), None
 
     # ---- sky + noise ---------------------------------------------------------
+    # numeric sky_level (incl. 0 to disable) is honored directly; the
+    # default {type: SkyLevel} dict invokes the sky model
+    sky_cfg_val = img_cfg.get("sky_level")
     sky_level = 0.0
-    if img_cfg.get("sky_level") is not None:
-        ra_c, dec_c = wcs.xy_to_radec((nx - 1) / 2.0, (ny - 1) / 2.0)
+    ra_c, dec_c = wcs.xy_to_radec((nx - 1) / 2.0, (ny - 1) / 2.0)
+    if isinstance(sky_cfg_val, (int, float)):
+        sky_level = float(sky_cfg_val)
+    elif sky_cfg_val is not None:
         sky_level = ctx.sky_model.get_sky_level(float(ra_c), float(dec_c))
     if sky_level > 0:
         grad = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0))
