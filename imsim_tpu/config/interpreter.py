@@ -75,7 +75,11 @@ def _merge(base: dict, over: dict):
     for k, v in over.items():
         if k == "template":
             continue
-        if "." in k:
+        if k == "eval_variables" and isinstance(v, dict):
+            # merge rather than replace: templates rely on their own
+            # eval variables; user additions extend them
+            out.setdefault("eval_variables", {}).update(copy.deepcopy(v))
+        elif "." in k:
             set_dotted(out, k, copy.deepcopy(v))
         else:
             out[k] = copy.deepcopy(v)
@@ -176,6 +180,26 @@ class ConfigView:
             return self.resolve(get_dotted(self.cfg, path))
         except (KeyError, IndexError, TypeError):
             return default
+
+
+def deep_resolve(view: ConfigView, node, _depth=0):
+    """Resolve every '$expr' / '@path' string and {type: Eval} dict in a
+    config tree (leaving other typed dicts for their builders), so the
+    runner's plain dict reads see final values — the lazy-eval pass of
+    the reference's GetAllParams, done eagerly once per visit."""
+    if _depth > 32:
+        return node
+    if isinstance(node, str) and node[:1] in ("$", "@"):
+        return view.resolve(node)
+    if isinstance(node, dict):
+        if node.get("type") == "Eval":
+            return view.resolve(node)
+        return {k: (v if k == "eval_variables"
+                    else deep_resolve(view, v, _depth + 1))
+                for k, v in node.items()}
+    if isinstance(node, list):
+        return [deep_resolve(view, v, _depth + 1) for v in node]
+    return node
 
 
 _ANGLE_UNITS = {"deg": DEG, "degree": DEG, "degrees": DEG,

@@ -86,6 +86,12 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
     view.state["opsim_data"] = ods
     band = ods.get("band", "r")
     seed = int(ods.get("seed", 42))
+    # with the visit metadata known, $-expressions and @-references
+    # anywhere in the tree collapse to values
+    from .interpreter import deep_resolve
+
+    cfg = deep_resolve(view, cfg)
+    view.cfg = cfg
 
     # --- telescope -----------------------------------------------------------
     tcfg = cfg.get("input", {}).get("telescope", {}) or {}
@@ -385,20 +391,33 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
 
 
 def eimage_header(ctx: VisitContext, det_name, wcs):
-    """DM-ingestible primary keywords (imsim/ccd.py:138-206 analog)."""
+    """DM-ingestible primary keywords (imsim/ccd.py:138-206 +
+    imsim/readout.py:208-299 get_primary_hdu analog, including the
+    recomputed rotSkyPos = rotTelPos - parallactic angle)."""
     ods = ctx.opsim
+    q = float(ctx.wcs_factory.obs.parallactic_angle())
+    rot_tel = float(ods.get("rotTelPos", 0.0))
+    rot_sky = (rot_tel - np.degrees(q)) % 360.0
     h = {
         "RUNNUM": int(ods.get("observationId", 0)),
         "OBSID": int(ods.get("observationId", 0)),
         "MJD-OBS": float(ods.get("observationStartMJD", 0.0)),
         "EXPTIME": float(ods.get("exptime", 30.0)),
+        "DARKTIME": float(ods.get("exptime", 30.0)),
         "FILTER": ods.get("band", "r"),
         "DET_NAME": det_name,
+        "LSST_NUM": ctx.camera[det_name].getSerial(),
+        "CCD_MANU": ctx.camera[det_name].vendor,
         "RATEL": float(ods.get("fieldRA", 0.0)),
         "DECTEL": float(ods.get("fieldDec", 0.0)),
-        "ROTANGLE": float(ods.get("rotTelPos", 0.0)),
+        "ROTANGLE": rot_tel,
+        "ROTSKYPO": rot_sky,
         "AIRMASS": float(ods.get("airmass", 1.0)),
+        "HASTART": float(ods.get("HA", 0.0)),
+        "AMSTART": float(ods.get("airmass", 1.0)),
+        "SEEING": float(ods.get("rawSeeing", 0.7)),
         "CAMERA": ctx.cfg.get("output", {}).get("camera", "LsstCamSim"),
+        "INSTRUME": "imsim_tpu",
     }
     h.update(wcs.header_cards())
     return h

@@ -144,16 +144,29 @@ def build_scene(table: ic.ObjectTable, bp: Bandpass, sed_dirs,
     wl = np.empty((n, WL_CDF_K), np.float32)
     nominal = np.empty(n)
     base = ic.object_flux(table.magnorm, pupil_area, exptime)
+    # Catalogs reuse a small set of SED files; cache the expensive
+    # per-object spectral work on quantized (sed, z, Av, Rv) keys.  The
+    # reference caches only the raw file (imsim/instcat.py:380-431) and
+    # redoes redshift/extinction/integration per object — the dominant
+    # ingest cost for 1e5-object catalogs.
+    cache: dict = {}
     for i in range(n):
-        sed = build_object_sed(table.sed_name[i], table.redshift[i],
-                               table.mw_av[i], table.mw_rv[i],
-                               tuple(sed_dirs))
-        # photons/sec/cm^2 through bandpass for the magnorm=0 SED; the
-        # magnorm scaling + area + exptime live in `base`
-        # (imsim/instcat.py:566-576 semantics).
-        rate = bp.photon_rate(sed.wave, sed.fphot, 1.0, 1.0)
-        nominal[i] = base[i] * rate
-        wl[i] = _wavelength_icdf(sed, bp)
+        key = (table.sed_name[i], round(float(table.redshift[i]), 4),
+               round(float(table.mw_av[i]), 3),
+               round(float(table.mw_rv[i]), 2))
+        hit = cache.get(key)
+        if hit is None:
+            sed = build_object_sed(table.sed_name[i], table.redshift[i],
+                                   table.mw_av[i], table.mw_rv[i],
+                                   tuple(sed_dirs))
+            # photons/sec/cm^2 through bandpass for the magnorm=0 SED;
+            # magnorm scaling + area + exptime live in `base`
+            # (imsim/instcat.py:566-576 semantics).
+            rate = bp.photon_rate(sed.wave, sed.fphot, 1.0, 1.0)
+            hit = (rate, _wavelength_icdf(sed, bp))
+            cache[key] = hit
+        nominal[i] = base[i] * hit[0]
+        wl[i] = hit[1]
     # lens magnification scales flux by mu (GSObject.lens semantics)
     nominal = nominal * np.abs(table.mu)
     realized = rng.poisson(np.clip(nominal, 0, None)).astype(np.float64)

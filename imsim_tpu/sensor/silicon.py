@@ -57,13 +57,15 @@ def absorption_length_table():
     return UniformTable(250.0, grid[1] - grid[0], vals.astype(np.float32))
 
 
-def default_bf_kernel(radius=4, strength=1.1):
+def default_bf_kernel(radius=4, strength=0.4):
     """Short-range BF interaction kernel K (unitless), radius in pixels.
 
     The displacement potential is phi = K * Q; K falls off ~ 1/r as the
-    transverse field of a charge column seen over one drift length, with a
-    finite core.  `strength` is calibrated so a 100k e- point source grows
-    its sigma by ~1% per 50k e- (the measured LSST BF scale)."""
+    transverse field of a charge column seen over one drift length, with
+    a finite core.  The default `strength` is calibrated against the
+    measured LSST BF scale: a point source near full well (~5e5 e- in a
+    sigma = 1.5 px spot) grows its sigma by ~2.5% (see
+    tests/test_brighter_fatter.py)."""
     r = np.arange(-radius, radius + 1)
     X, Y = np.meshgrid(r, r)
     rr = np.hypot(X, Y)
@@ -96,7 +98,7 @@ class SiliconParams:
 
     @classmethod
     def make(cls, treering_center=(-1000.0, -1000.0), treering_profile=None,
-             thickness_um=100.0, diffusion_um=4.0, bf_strength=1.1):
+             thickness_um=100.0, diffusion_um=4.0, bf_strength=0.4):
         abs_t = absorption_length_table()
         tr = treering_profile if treering_profile is not None \
             else np.zeros(2048, np.float32)

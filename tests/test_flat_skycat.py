@@ -14,6 +14,10 @@ def test_flat_brighter_fatter_ptc():
     (photon transfer curve bends down) while conserving the mean."""
     cfg = FlatConfig(counts_per_pixel=40_000.0, counts_per_iter=2000.0,
                      xsize=256, ysize=256)
+    # stronger-than-default BF for a clear PTC signal (default 0.4 is
+    # the calibrated physical scale; the sign/mechanism is what this
+    # test pins down).  Note: >~1.3 destabilizes the per-iteration
+    # area-factor linearization at 2000 counts/iter.
     params = SiliconParams.make(bf_strength=1.1)
     img = build_flat(3, cfg, params)
     st = flat_statistics(img)
