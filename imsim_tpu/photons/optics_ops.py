@@ -100,12 +100,11 @@ def dcr_kick(ctx: OpticsContext, thx, thy, wavelength_nm):
 
 
 def silicon_refraction(vx, vy, vz, wavelength_nm):
-    """Refract exit-ray slopes into the silicon (the `Refraction`
-    photon op with silicon index, config/imsim-config.yaml:312-316).
-    n_Si from a 2-term fit over 300-1100 nm."""
-    w = wavelength_nm * 1e-3
-    n_si = 3.5 + 0.4 / (w * w)   # ~3.9 @ 500nm -> 3.57 @ 1000nm
-    inv = 1.0 / n_si
+    """Refract exit-ray direction into the silicon (the `Refraction`
+    photon op with silicon index, config/imsim-config.yaml:312-316)."""
+    from .ops import silicon_index
+
+    inv = 1.0 / silicon_index(wavelength_nm)
     tx = vx * inv
     ty = vy * inv
     tz = jnp.sqrt(jnp.maximum(1.0 - tx * tx - ty * ty, 1e-6))
