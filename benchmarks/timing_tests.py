@@ -1,4 +1,8 @@
-"""Timing harness — the reference's tests/performance/ role
+"""Timing harness (NOTE: block_until_ready does not wait on the
+axon tunnel; per-call numbers here are enqueue times — use bench.py's
+slope method for honest wall-clocks.)
+
+Original doc: Timing harness — the reference's tests/performance/ role
 (timing_tests.py, sensor_accumulate_timing.py): photon throughput vs
 batch size, silicon-sensor accumulate scaling vs flux and recalc
 cadence, full-chain vs fast-path cost.
@@ -69,17 +73,21 @@ def bench_photon_throughput(sizes):
     cum[:host.n_objects] = np.cumsum(counts)
     cum[host.n_objects:] = cum[host.n_objects - 1]
     cum_dev = jnp.asarray(cum)
+    NB = 8
     ny, nx = ccd.bounds.height, ccd.bounds.width
 
     rows = []
     for N in sizes:
         image = jnp.zeros((ny, nx), jnp.float32)
+        omap = jax.jit(build_obj_map,
+                       static_argnames=("nb", "batch_size"))(
+            cum_dev, jnp.int32(total), NB, int(N))
 
         def step(b):
             return _pooled_batch_step(
                 stream(1, "p", int(b)), stream(1, "s", int(b)),
-                host.scene, cum_dev, jnp.int32(total), jnp.int32(b),
-                8, int(N), tel32, octx, screens, sk, kolm,
+                host.scene, omap, jnp.int32(total), jnp.int32(b),
+                NB, int(N), tel32, octx, screens, sk, kolm,
                 jnp.float32(0.127), sil, image, 30.0, 0.2, 4)
 
         dt = time_steady(step, 1)

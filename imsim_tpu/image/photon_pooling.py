@@ -126,6 +126,41 @@ def batch_obj_assignment(cum_counts, total, b, nb, batch_size):
     return obj, alive.astype(jnp.float32)
 
 
+def build_obj_map(cum_counts, total, nb, batch_size):
+    """(batch_size, nb) int32 photon->object map for a whole visit,
+    built ONCE on device, so each batch's assignment is a contiguous
+    column slice instead of a 17-step binary search (TPU random gathers
+    run at ~0.1 G/s — searchsorted per batch cost ~1.7 s of the 7.4 s
+    batch budget).
+
+    Construction is scatter + cummax: object i's first photon index
+    (cum[i-1]) receives value i; a max-scan fills the gaps.  Both are
+    single streaming HBM passes.
+    """
+    n_total = batch_size * nb
+    starts = jnp.concatenate([jnp.zeros((1,), cum_counts.dtype),
+                              cum_counts[:-1]])
+    n_obj = cum_counts.shape[0]
+    marks = jnp.zeros((n_total,), jnp.int32)
+    marks = marks.at[starts].max(
+        jnp.arange(n_obj, dtype=jnp.int32), mode="drop")
+    obj_flat = jax.lax.cummax(marks)
+    # dead tail (>= total) points at the last (padded) object
+    g = jnp.arange(n_total, dtype=jnp.int32)
+    obj_flat = jnp.where(g < total, obj_flat, n_obj - 1)
+    # global index g = b + nb*s  ->  obj_map[s, b]
+    return obj_flat.reshape(batch_size, nb)
+
+
+def batch_from_obj_map(obj_map, total, b, nb, batch_size):
+    """Batch b's (obj_idx, weight) from the precomputed visit map:
+    one strided column read + an iota compare (no random gathers)."""
+    obj = jax.lax.dynamic_slice_in_dim(obj_map, b, 1, axis=1)[:, 0]
+    s = jnp.arange(batch_size, dtype=jnp.int32)
+    alive = (b + nb * s) < total
+    return obj, alive.astype(jnp.float32)
+
+
 def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
                       silicon: SiliconParams | None = None,
                       tel=None, ctx=None, screens=None, sk_table=None,
@@ -173,14 +208,15 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
     cum = np.zeros(host.scene.n, np.int32)
     cum[:host.n_objects] = np.cumsum(counts)
     cum[host.n_objects:] = cum[host.n_objects - 1] if host.n_objects else 0
-    cum_dev = jnp.asarray(cum)
+    obj_map = _build_obj_map_jit(jnp.asarray(cum), jnp.int32(total), nb,
+                                 batch_size)
 
     psf_tables = {"kolmogorov": dataclasses.replace(
         kolm_as, y=jnp.asarray(kolm_as.y)), "gauss_sigma": gauss_sigma}
     for b in range(start_batch, nb):
         key = stream(seed, "photons", b)
         image = _pooled_batch_step(
-            key, stream(seed, "si", b), host.scene, cum_dev,
+            key, stream(seed, "si", b), host.scene, obj_map,
             jnp.int32(total), jnp.int32(b), nb, batch_size, tel, ctx,
             screens, sk_table, psf_tables["kolmogorov"],
             jnp.float32(gauss_sigma), silicon, image,
@@ -193,14 +229,18 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
     return image, modes
 
 
+_build_obj_map_jit = jax.jit(build_obj_map,
+                             static_argnames=("nb", "batch_size"))
+
+
 @partial(jax.jit, static_argnames=("nb", "batch_size", "exptime",
                                    "pixel_scale", "nsub"))
-def _pooled_batch_step(key, si_key, scene, cum_counts, total, b, nb,
+def _pooled_batch_step(key, si_key, scene, obj_map, total, b, nb,
                        batch_size, tel, ctx, screens, sk_table,
                        kolm_table, gauss_sigma, silicon, image,
                        exptime, pixel_scale, nsub):
-    obj_idx, weight = batch_obj_assignment(cum_counts, total, b, nb,
-                                           batch_size)
+    obj_idx, weight = batch_from_obj_map(obj_map, total, b, nb,
+                                         batch_size)
     if tel is not None and ctx is not None:
         photons = render.shoot_full(
             key, scene, obj_idx, weight, tel, ctx, screens=screens,

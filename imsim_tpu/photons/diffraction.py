@@ -36,35 +36,35 @@ OMEGA_EARTH = 7.292115826090781e-05  # rad/s
 
 def nearest_edge(px, py, lines=None, circles=None):
     """Distance and unit direction to the nearest geometry edge for pupil
-    points (px, py). Returns (dist, nx, ny)."""
-    lines = SPIDER_LINES if lines is None else lines
-    circles = SPIDER_CIRCLES if circles is None else circles
-    L = jnp.asarray(lines)
-    C = jnp.asarray(circles)
-    # thick lines: | |n.p - d| - t |
-    nd = L[:, 0][:, None] * px[None, :] + L[:, 1][:, None] * py[None, :]
-    dl = jnp.abs(jnp.abs(nd - L[:, 2][:, None]) - L[:, 3][:, None])  # (nl, N)
-    il = jnp.argmin(dl, axis=0)
-    dmin_l = jnp.min(dl, axis=0)
-    # circles: | |p - c| - r |
-    dxc = px[None, :] - C[:, 0][:, None]
-    dyc = py[None, :] - C[:, 1][:, None]
-    rr = jnp.hypot(dxc, dyc)
-    dc = jnp.abs(rr - C[:, 2][:, None])
-    ic = jnp.argmin(dc, axis=0)
-    dmin_c = jnp.min(dc, axis=0)
+    points (px, py). Returns (dist, nx, ny).
 
-    use_line = dmin_l < dmin_c
-    dist = jnp.where(use_line, dmin_l, dmin_c)
-    lnx = L[il, 0]
-    lny = L[il, 1]
-    cx = C[ic, 0]
-    cy = C[ic, 1]
-    dxn = cx - px
-    dyn = cy - py
-    nrm = jnp.maximum(jnp.hypot(dxn, dyn), 1e-12)
-    nx = jnp.where(use_line, lnx, dxn / nrm)
-    ny = jnp.where(use_line, lny, dyn / nrm)
+    Branch-free select chains instead of argmin+gather: TPU gathers cost
+    ~130 ms per 16.7M elements even from a 4-row table, while selects
+    are free VPU ops.  The geometry is a compile-time constant list."""
+    lines = np.asarray(SPIDER_LINES if lines is None else lines)
+    circles = np.asarray(SPIDER_CIRCLES if circles is None else circles)
+
+    dist = None
+    nx = ny = None
+    for lnx, lny, d0, thick in lines:
+        dl = jnp.abs(jnp.abs(lnx * px + lny * py - d0) - thick)
+        if dist is None:
+            dist, nx, ny = dl, jnp.full_like(px, lnx), jnp.full_like(px,
+                                                                     lny)
+        else:
+            closer = dl < dist
+            nx = jnp.where(closer, lnx, nx)
+            ny = jnp.where(closer, lny, ny)
+            dist = jnp.minimum(dl, dist)
+    for cx, cy, r in circles:
+        dxc = cx - px
+        dyc = cy - py
+        rr = jnp.maximum(jnp.hypot(dxc, dyc), 1e-12)
+        dc = jnp.abs(rr - r)
+        closer = dc < dist
+        nx = jnp.where(closer, dxc / rr, nx)
+        ny = jnp.where(closer, dyc / rr, ny)
+        dist = jnp.minimum(dc, dist)
     return dist, nx, ny
 
 
@@ -93,16 +93,33 @@ def field_rotation_angle(t, latitude, altitude, azimuth):
     return jnp.arctan2(sin_t, cos_t)
 
 
+def field_rotation_rate(latitude, altitude, azimuth):
+    """d(theta)/dt at t=0 [rad/s]: omega * cos(lat) * cos(az) / cos(alt)
+    (the standard alt-az field-rotation rate; the exact curve
+    field_rotation_angle is linear at the per-exposure level — 30 s of
+    earth rotation bends it by < 1e-5 rad).  Scalar jnp ops: traces
+    cleanly inside jit."""
+    return (OMEGA_EARTH * jnp.cos(latitude) * jnp.cos(azimuth)
+            / jnp.maximum(jnp.cos(altitude), 1e-6))
+
+
 def apply_diffraction(key, pupil_u, pupil_v, dxdz, dydz, wavelength_nm,
                       t=None, latitude=-0.5278, altitude=None, azimuth=None,
-                      enable_field_rotation=True):
+                      enable_field_rotation=True, rot_rate=None):
     """Return kicked (dxdz, dydz) slopes.
 
     The kick changes the transverse direction by d_tan_phi along the edge
     normal (imsim/diffraction.py:153-189), sampled as N(0, phi*^2).
+
+    Field rotation over the exposure is linearized (theta = rate * t):
+    exact-curve evaluation per photon costs two 3-vector cross products,
+    two norms and an atan2 for < 1e-5 rad of curvature over 30 s.
     """
-    if enable_field_rotation and t is not None and altitude is not None:
-        theta = field_rotation_angle(t, latitude, altitude, azimuth)
+    if enable_field_rotation and t is not None and \
+            (altitude is not None or rot_rate is not None):
+        if rot_rate is None:
+            rot_rate = field_rotation_rate(latitude, altitude, azimuth)
+        theta = rot_rate * t
         c, s = jnp.cos(theta), jnp.sin(theta)
         # rotate pupil coords backwards, kick, rotate kick forward
         pu = c * pupil_u + s * pupil_v

@@ -25,6 +25,7 @@ from ..optics.trace import rays_from_field, trace
 from . import diffraction as D
 
 ARCSEC = np.pi / 180 / 3600
+XI_WAVE_MIN, XI_WAVE_MAX, XI_N = 300.0, 1100.0, 256
 
 
 @jax.tree_util.register_pytree_node_class
@@ -42,6 +43,7 @@ class OpticsContext:
     k2_ref: jax.Array
     det_cx_mm: jax.Array      # detector center in focal plane
     det_cy_mm: jax.Array
+    xi_table: jax.Array       # (256,) air index excess over XI_WAVE grid
     det_nx: int
     det_ny: int
     latitude: float
@@ -51,7 +53,8 @@ class OpticsContext:
 
     def tree_flatten(self):
         return ((self.bore_alt, self.bore_az, self.crot, self.srot,
-                 self.k1_ref, self.k2_ref, self.det_cx_mm, self.det_cy_mm),
+                 self.k1_ref, self.k2_ref, self.det_cx_mm, self.det_cy_mm,
+                 self.xi_table),
                 (self.det_nx, self.det_ny, self.latitude,
                  self.pressure_kpa, self.temperature_k, self.h2o_kpa))
 
@@ -65,12 +68,16 @@ def make_optics_context(wcs_factory, ccd) -> OpticsContext:
     # k1_ref/k2_ref MUST use the same weather the Observation used, or a
     # spurious constant refraction offset leaks into every photon.
     f = jnp.float32
+    wgrid = np.linspace(XI_WAVE_MIN, XI_WAVE_MAX, XI_N)
+    xi = G.air_index_excess(np, wgrid, obs.pressure_kpa,
+                            obs.temperature_k, obs.h2o_pressure_kpa)
     return OpticsContext(
         bore_alt=f(obs.bore_alt), bore_az=f(obs.bore_az),
         crot=f(np.cos(wcs_factory.telescope.rotTelPos)),
         srot=f(np.sin(wcs_factory.telescope.rotTelPos)),
         k1_ref=f(obs.k1), k2_ref=f(obs.k2),
         det_cx_mm=f(ccd.center_mm[0]), det_cy_mm=f(ccd.center_mm[1]),
+        xi_table=jnp.asarray(xi, jnp.float32),
         det_nx=ccd.bounds.width, det_ny=ccd.bounds.height,
         latitude=float(obs.lat), pressure_kpa=float(obs.pressure_kpa),
         temperature_k=float(obs.temperature_k),
@@ -89,8 +96,15 @@ def dcr_kick(ctx: OpticsContext, thx, thy, wavelength_nm):
     # alt-az frame v component of this photon
     v = ctx.srot * thx + ctx.crot * thy
     alt = ctx.bore_alt + v
-    xi = G.air_index_excess(jnp, wavelength_nm, ctx.pressure_kpa,
-                            ctx.temperature_k, ctx.h2o_kpa)
+    # per-photon air index by ONE paired table gather
+    fidx = jnp.clip((wavelength_nm - XI_WAVE_MIN)
+                    / ((XI_WAVE_MAX - XI_WAVE_MIN) / (XI_N - 1)),
+                    0.0, XI_N - 1.000001)
+    i0 = fidx.astype(jnp.int32)
+    wfrac = fidx - i0
+    xi2 = jnp.stack([ctx.xi_table[:-1], ctx.xi_table[1:]], axis=-1)
+    g = xi2[i0]
+    xi = g[:, 0] * (1 - wfrac) + g[:, 1] * wfrac
     beta = 0.001254
     k1 = xi * (1.0 - beta)
     k2 = -xi * (beta + xi * 0.5)

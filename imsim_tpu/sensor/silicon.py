@@ -113,11 +113,15 @@ class SiliconParams:
 
 
 def _table_lookup(y, x0, dx, x):
+    """Linear interp via one paired row-gather (gathers are the TPU
+    bottleneck; see utils.lookup.UniformTable)."""
     n = y.shape[0]
     f = jnp.clip((x - x0) / dx, 0.0, n - 1.000001)
     i = jnp.floor(f).astype(jnp.int32)
     w = f - i
-    return y[i] * (1 - w) + y[i + 1] * w
+    y2 = jnp.stack([y[:-1], y[1:]], axis=-1)
+    g = y2[i]
+    return g[..., 0] * (1 - w) + g[..., 1] * w
 
 
 def displacement_field(image, params: SiliconParams):
@@ -195,13 +199,18 @@ def apply_silicon_displacements(key, photons: PhotonBatch,
         x = x + dr * rx / r
         y = y + dr * ry / r
 
-    # brighter-fatter displacement sampled at the (pre-BF) pixel position
+    # brighter-fatter displacement sampled at the (pre-BF) pixel
+    # position; disp is packed (H, W, 2) so one row-gather fetches both
+    # components
     if disp_x is not None:
-        H, W = disp_x.shape
+        disp = disp_x if disp_y is None else jnp.stack(
+            [disp_x, disp_y], axis=-1)
+        H, W = disp.shape[:2]
         ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
         iy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
-        x = x + disp_x[iy, ix]
-        y = y + disp_y[iy, ix]
+        g = disp.reshape(-1, 2)[iy * W + ix]
+        x = x + g[:, 0]
+        y = y + g[:, 1]
 
     return photons.replace(x=x, y=y, flux=flux)
 
