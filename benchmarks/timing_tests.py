@@ -44,7 +44,8 @@ def bench_photon_throughput(sizes):
     sys.path.insert(0, ".")
     from bench import build_synthetic_host
     from imsim_tpu.electronics.camera import get_camera
-    from imsim_tpu.image.photon_pooling import _pooled_batch_step
+    from imsim_tpu.image.photon_pooling import (_pooled_batch_step,
+                                                build_obj_map)
     from imsim_tpu.optics.wcs_factory import make_wcs_factory
     from imsim_tpu.photons.optics_ops import make_optics_context
     from imsim_tpu.psf.atmosphere import (AtmConfig, make_screens,

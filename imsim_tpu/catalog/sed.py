@@ -118,9 +118,18 @@ def _cached_raw_sed(path: str) -> SED:
 
 
 def build_object_sed(sed_name: str, redshift: float, mw_av: float,
-                     mw_rv: float, sed_dirs: tuple[str, ...]) -> SED:
-    """Full per-object SED: load+cache raw file, redshift, MW-extinguish.
-    Mirrors the order of operations in imsim/instcat.py:380-431."""
+                     mw_rv: float, sed_dirs: tuple[str, ...],
+                     int_av: float = 0.0, int_rv: float = 3.1) -> SED:
+    """Full per-object SED: load+cache raw file, internal (rest-frame)
+    dust, redshift, Milky Way dust — in that order.
+
+    Mirrors imsim/instcat.py:380-431 for load/normalize/redshift/MW
+    extinction.  Internal extinction is parsed by the reference's
+    catalog but left as a literal ``# TODO: apply internal extinction
+    here`` (instcat.py:404); here it IS applied, at the physically
+    correct point: in the galaxy rest frame, before the redshift
+    stretch, using the same CCM89/O'Donnell curve.
+    """
     for d in sed_dirs:
         full = os.path.join(d, sed_name)
         if os.path.isfile(full):
@@ -128,6 +137,7 @@ def build_object_sed(sed_name: str, redshift: float, mw_av: float,
     else:
         raise OSError(f"SED file {sed_name} not found in {sed_dirs}")
     sed = _cached_raw_sed(full)
+    sed = sed.extinguished(int_av, int_rv)   # rest frame
     sed = sed.at_redshift(redshift)
-    sed = sed.extinguished(mw_av, mw_rv)
+    sed = sed.extinguished(mw_av, mw_rv)     # observer frame
     return sed

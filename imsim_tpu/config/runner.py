@@ -327,6 +327,32 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
             pcfg, psf_table=dataclasses.replace(tab,
                                                 y=jnp.asarray(tab.y)))
 
+    # saturation diffraction-spike overlay for FFT-drawn bright stars
+    # (imsim/stamp.py:520-521 + imsim/diffraction_fft.py:126-227):
+    # kernel built per (band, rotTelPos, field-rotation smear), charge
+    # redistributed above the detector full well
+    spikes = None
+    dfft_cfg = stamp_cfg.get("diffraction_fft", {}) or {}
+    if pcfg.fft_sb_thresh > 0 and dfft_cfg.get("enabled", True):
+        from ..image.diffraction_fft import spike_kernel
+        from ..optics.astrometry import RUBIN_LAT
+        from ..photons.diffraction import field_rotation_rate
+
+        alt = float(ctx.opsim.get("altitude", 90.0)) * DEG
+        az = float(ctx.opsim.get("azimuth", 0.0)) * DEG
+        rate = float(field_rotation_rate(RUBIN_LAT, alt, az))
+        smear_deg = abs(np.degrees(rate * exptime))
+        # spider arms at 45 deg in the pupil, rotated by the telescope
+        # rotator (reference: alpha = pi/4 - rottelpos)
+        alpha_deg = 45.0 - float(ctx.opsim.get("rotTelPos", 0.0))
+        kern = spike_kernel(
+            wavelength_nm=float(ctx.bandpass.effective_wavelength),
+            pixel_scale=pcfg.pixel_scale, alpha_deg=alpha_deg,
+            rot_smear_deg=max(smear_deg, 1e-3))
+        spikes = dict(kernel=jnp.asarray(kern),
+                      sat=float(dfft_cfg.get("brightness_threshold",
+                                             ccd.full_well)))
+
     if host is not None and host.n_objects > 0:
         image, modes = render_ccd_pooled(
             ctx.seed + det_num, host, pcfg, silicon=silicon,
@@ -334,7 +360,7 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
             ctx=octx if use_optics else None,
             screens=ctx.screens if use_optics else None,
             sk_table=sk_table if use_optics else None,
-            checkpointer=ckpt, logger=logger)
+            checkpointer=ckpt, spikes=spikes, logger=logger)
     else:
         image, modes = jnp.zeros((ny, nx), jnp.float32), None
 

@@ -61,16 +61,22 @@ def spike_kernel(wavelength_nm: float = 622.0, pixel_scale: float = 0.2,
 def apply_spikes(image, kernel, sat_level: float):
     """Redistribute the charge of saturated pixels through the spike
     kernel: excess = max(I - sat, 0) is convolved, the rest stays.
-    Charge-conserving; only saturated sources grow spikes (the
-    reference's bounding-box criterion, :126-227)."""
+    Charge-conserving up to edge clipping; only saturated sources grow
+    spikes (the reference's bounding-box criterion, :126-227; spikes
+    are clipped to the stamp bounds exactly as the reference clips the
+    overlay to fft_image bounds, imsim/stamp.py:520-524).
+
+    image may carry leading batch dims: (..., H, W) — the FFT pair runs
+    over the last two axes, so a whole stamp bucket is one call.
+    """
     excess = jnp.maximum(image - sat_level, 0.0)
     base = image - excess
-    H, W = image.shape
+    H, W = image.shape[-2:]
     kH, kW = kernel.shape
     # FFT convolution, zero-padded to H+kH
     PH, PW = H + kH, W + kW
-    F_img = jnp.fft.rfft2(excess, s=(PH, PW))
+    F_img = jnp.fft.rfft2(excess, s=(PH, PW), axes=(-2, -1))
     F_k = jnp.fft.rfft2(kernel, s=(PH, PW))
-    conv = jnp.fft.irfft2(F_img * F_k, s=(PH, PW))
+    conv = jnp.fft.irfft2(F_img * F_k, s=(PH, PW), axes=(-2, -1))
     y0, x0 = kH // 2, kW // 2
-    return base + conv[y0:y0 + H, x0:x0 + W]
+    return base + conv[..., y0:y0 + H, x0:x0 + W]

@@ -201,15 +201,34 @@ def stamp_bucket(flux, mtf: UniformTable, pixel_scale=0.2,
     return nmax
 
 
-def add_stamp(image, stamp, x0: int, y0: int):
-    """Add a stamp into the full image at integer corner (device),
-    clipping at the edges via dynamic_update_slice on a padded image."""
-    N = stamp.shape[-1]
+@jax.jit
+def add_stamps(image, stamps, x0, y0):
+    """Add a batch of same-size stamps into the full image at integer
+    corners (x0, y0), clipping at the edges.  ONE pad + scan +
+    unpad for the whole bucket — the per-stamp full-frame copy this
+    replaces cost a 4k x 4k roundtrip per bright star.
+
+    stamps: (B, N, N); x0, y0: (B,) int32 corner pixel indices
+    (may be negative / beyond the edge; dynamic_slice clamps and the
+    host caller pre-clamps to [-N, dim]).
+    """
+    N = stamps.shape[-1]
     H, W = image.shape
     pad = N
     padded = jnp.pad(image, pad)
-    padded = jax.lax.dynamic_update_slice(
-        padded,
-        jax.lax.dynamic_slice(padded, (y0 + pad, x0 + pad), (N, N)) + stamp,
-        (y0 + pad, x0 + pad))
+
+    def body(img, sxy):
+        st, xx, yy = sxy
+        cur = jax.lax.dynamic_slice(img, (yy + pad, xx + pad), (N, N))
+        return jax.lax.dynamic_update_slice(
+            img, cur + st, (yy + pad, xx + pad)), None
+
+    padded, _ = jax.lax.scan(body, padded, (stamps, x0, y0))
     return padded[pad:pad + H, pad:pad + W]
+
+
+def add_stamp(image, stamp, x0: int, y0: int):
+    """Single-stamp convenience wrapper over add_stamps."""
+    return add_stamps(image, stamp[None],
+                      jnp.asarray([x0], jnp.int32),
+                      jnp.asarray([y0], jnp.int32))

@@ -165,7 +165,8 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
                       silicon: SiliconParams | None = None,
                       tel=None, ctx=None, screens=None, sk_table=None,
                       checkpointer: Checkpointer | None = None,
-                      checkpoint_key: str = "pooled", logger=None):
+                      checkpoint_key: str = "pooled", spikes=None,
+                      logger=None):
     """Render one CCD eimage.  With (tel, ctx) the full optics chain is
     used (render.shoot_full); otherwise the analytic Kolmogorov*Gaussian
     fast path (render.shoot).  With `silicon` the BF/tree-ring/diffusion
@@ -192,7 +193,8 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
 
     # ---- FFT pass (bright stars) ----------------------------------------
     if start_batch == 0 and np.any(modes == FFT):
-        image = _fft_pass(image, host, modes, cfg, psf_mtf, logger)
+        image = _fft_pass(image, host, modes, cfg, psf_mtf, seed,
+                          spikes=spikes, logger=logger)
 
     # ---- pooled photon pass ---------------------------------------------
     # ONE fused jit per batch: device-side photon->object assignment +
@@ -256,26 +258,43 @@ def _pooled_batch_step(key, si_key, scene, obj_map, total, b, nb,
     return accumulate(photons, image)
 
 
-def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, logger=None):
-    """Render all FFT-mode objects, bucketed by stamp size, saturation
-    spikes painted afterwards on the full image."""
+def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
+              spikes=None, logger=None):
+    """Render all FFT-mode objects, bucketed by stamp size.
+
+    Per bucket (one fused device program each): batched MTF->irfft2
+    stamps -> clip negatives -> saturation diffraction-spike overlay
+    (imsim/stamp.py:520-521 order) -> Poisson noise (:522) -> ONE
+    scan-based stamp add (no per-stamp full-frame copies).
+
+    Stamp placement uses the objects' PIXEL positions (host.pix_x/y);
+    COL_X/COL_Y hold field angles when the optics chain is active.
+    Noise keys derive from the visit seed, not from flux values.
+    """
     idx = np.nonzero(modes == FFT)[0]
     if logger:
         logger.info("FFT pass: %d objects", len(idx))
-    params = np.asarray(host.scene.params)
+    if host.pix_x is not None:
+        xs_all = np.asarray(host.pix_x, float)
+        ys_all = np.asarray(host.pix_y, float)
+    else:
+        params = np.asarray(host.scene.params)
+        xs_all = params[:host.n_objects, 0]
+        ys_all = params[:host.n_objects, 1]
     flux = host.flux[:host.n_objects]
+    H, W = image.shape
     buckets: dict[int, list[int]] = {}
     for i in idx:
         N = F.stamp_bucket(flux[i], psf_mtf, cfg.pixel_scale)
         buckets.setdefault(N, []).append(i)
-    for N, ids in sorted(buckets.items()):
+    for bucket_i, (N, ids) in enumerate(sorted(buckets.items())):
         B = len(ids)
         K = len(psf_mtf.y)
         mtf_y = np.broadcast_to(np.asarray(psf_mtf.y), (B, K)).copy()
-        xs = params[ids, 0]
-        ys = params[ids, 1]
-        x0 = np.floor(xs).astype(int) - N // 2
-        y0 = np.floor(ys).astype(int) - N // 2
+        xs = xs_all[ids]
+        ys = ys_all[ids]
+        x0 = np.clip(np.floor(xs).astype(int) - N // 2, -N, W)
+        y0 = np.clip(np.floor(ys).astype(int) - N // 2, -N, H)
         stamps = F.render_fft_stamps(
             jnp.asarray(mtf_y), jnp.full((B,), psf_mtf.dx, jnp.float32),
             jnp.asarray(flux[ids], jnp.float32),
@@ -283,11 +302,20 @@ def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, logger=None):
             jnp.asarray(xs - np.floor(xs), jnp.float32),
             jnp.asarray(ys - np.floor(ys), jnp.float32),
             N, cfg.pixel_scale)
-        # Poisson noise on FFT stamps (stamp.py:482-525 adds PoissonNoise)
-        key = stream(int(flux[ids[0]]) + N, "fftnoise")
-        noise = jax.random.normal(key, stamps.shape) * jnp.sqrt(
-            jnp.maximum(stamps, 0.0))
-        stamps = stamps + noise
-        for j in range(B):
-            image = F.add_stamp(image, stamps[j], int(x0[j]), int(y0[j]))
+        # FFT numerics can ring negative (imsim/stamp.py:518-519)
+        stamps = jnp.maximum(stamps, 0.0)
+        if spikes is not None:
+            from .diffraction_fft import apply_spikes
+
+            stamps = apply_spikes(stamps, spikes["kernel"],
+                                  jnp.float32(spikes["sat"]))
+        # Poisson noise on FFT stamps (stamp.py:522 adds PoissonNoise),
+        # keyed by the visit seed + bucket (never by flux values)
+        key = stream(seed, "fftnoise", bucket_i)
+        from ..utils.rng import poisson_approx
+
+        stamps = poisson_approx(key, stamps)
+        image = F.add_stamps(image, stamps,
+                             jnp.asarray(x0, jnp.int32),
+                             jnp.asarray(y0, jnp.int32))
     return image

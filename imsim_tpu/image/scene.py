@@ -86,12 +86,20 @@ class DeviceScene:
 
 @dataclasses.dataclass
 class SceneHost:
-    """Host-side companion: photon budgeting & batching metadata."""
+    """Host-side companion: photon budgeting & batching metadata.
+
+    pix_x/pix_y are the objects' PIXEL positions, kept separately from
+    the device scene because the optics path overwrites COL_X/COL_Y
+    with field angles (config/runner.py) — the FFT stamp placer needs
+    pixels regardless of which path runs.
+    """
 
     scene: DeviceScene
     flux: np.ndarray          # (n,) realized photon counts (Poisson)
     nominal_flux: np.ndarray  # (n,) expectation values
     n_objects: int
+    pix_x: np.ndarray | None = None  # (n_objects,) pixel coords
+    pix_y: np.ndarray | None = None
 
 
 def _wavelength_icdf(sed: SED, bp: Bandpass, k: int = WL_CDF_K) -> np.ndarray:
@@ -150,15 +158,20 @@ def build_scene(table: ic.ObjectTable, bp: Bandpass, sed_dirs,
     # redoes redshift/extinction/integration per object — the dominant
     # ingest cost for 1e5-object catalogs.
     cache: dict = {}
+    has_int = len(getattr(table, "int_av", ())) == n
     for i in range(n):
+        iav = float(table.int_av[i]) if has_int else 0.0
+        irv = float(table.int_rv[i]) if has_int else 3.1
         key = (table.sed_name[i], round(float(table.redshift[i]), 4),
                round(float(table.mw_av[i]), 3),
-               round(float(table.mw_rv[i]), 2))
+               round(float(table.mw_rv[i]), 2),
+               round(iav, 3), round(irv, 2))
         hit = cache.get(key)
         if hit is None:
             sed = build_object_sed(table.sed_name[i], table.redshift[i],
                                    table.mw_av[i], table.mw_rv[i],
-                                   tuple(sed_dirs))
+                                   tuple(sed_dirs),
+                                   int_av=iav, int_rv=irv)
             # photons/sec/cm^2 through bandpass for the magnorm=0 SED;
             # magnorm scaling + area + exptime live in `base`
             # (imsim/instcat.py:566-576 semantics).
@@ -200,7 +213,9 @@ def build_scene(table: ic.ObjectTable, bp: Bandpass, sed_dirs,
         aux_cloud=np.stack(clouds),
     )
     return SceneHost(scene=scene, flux=realized, nominal_flux=nominal,
-                     n_objects=n)
+                     n_objects=n,
+                     pix_x=np.asarray(table.x, np.float64),
+                     pix_y=np.asarray(table.y, np.float64))
 
 
 def make_photon_batches(host: SceneHost, batch_size: int,

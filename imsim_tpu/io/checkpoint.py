@@ -35,19 +35,24 @@ class Checkpointer:
         cur = self.file_name
         new = cur + "_new"
         bak = cur + "_bak"
-        if os.path.exists(new):
-            # crashed mid-protocol: the .new file is complete (it is
-            # written+closed before any rename), prefer it
-            if os.path.exists(cur):
-                os.remove(cur)
+        if os.path.exists(cur):
+            # An intact current file always wins.  save() writes _new
+            # while current still exists, so a crash during that write
+            # (the longest window) leaves a truncated _new next to a
+            # good current — promoting _new would destroy the last good
+            # state (imsim/checkpoint.py:32-65 cases B/C).
+            if os.path.exists(new):
+                os.remove(new)
+            if os.path.exists(bak):
+                os.remove(bak)
+        elif os.path.exists(new):
+            # crash between the two renames: current was already moved
+            # to _bak, and _new is complete (written+closed earlier)
             os.replace(new, cur)
             if os.path.exists(bak):
                 os.remove(bak)
         elif os.path.exists(bak):
-            if not os.path.exists(cur):
-                os.replace(bak, cur)
-            else:
-                os.remove(bak)
+            os.replace(bak, cur)
         d = os.path.dirname(os.path.abspath(cur))
         os.makedirs(d, exist_ok=True)
 

@@ -58,14 +58,16 @@ def test_checkpointer_roundtrip_and_recovery(tmp_path):
     assert Checkpointer(f).load("b") == "hello"
     assert Checkpointer(f).load("missing") is None
     assert set(Checkpointer(f).names()) == {"a", "b"}
-    # crash between writing _new and the renames: _new wins on recovery
+    # crash while WRITING _new (current still present): the intact
+    # current file wins — promoting a possibly-truncated _new would
+    # destroy the last good state (imsim/checkpoint.py:32-65 cases B/C)
     ck.save("b", "old")
     import h5py
     with h5py.File(f + "_new", "w") as fn:
         fn.create_dataset("b", data=np.frombuffer(
-            __import__("pickle").dumps("recovered"), np.uint8))
+            __import__("pickle").dumps("mid-write"), np.uint8))
     ck2 = Checkpointer(f)
-    assert ck2.load("b") == "recovered"
+    assert ck2.load("b") == "old"
     assert not os.path.exists(f + "_new")
 
 

@@ -1,0 +1,138 @@
+"""FFT-branch pipeline tests: pixel placement when the optics chain owns
+COL_X/COL_Y, visit-seeded noise, wired-in saturation spikes, batched
+stamp adds, and crash-safe checkpoint recovery.
+
+Reference behaviors covered: imsim/stamp.py:482-525 (FFT draw order:
+clip -> spikes -> Poisson noise -> add), imsim/checkpoint.py:32-65
+(recovery cases), tests/test_stamp.py stamp-placement assertions.
+"""
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from imsim_tpu.image import fft_render as F
+from imsim_tpu.image.diffraction_fft import spike_kernel
+from imsim_tpu.image.photon_pooling import (FFT, PoolingConfig,
+                                            classify_objects,
+                                            render_ccd_pooled)
+from imsim_tpu.image.scene import WL_CDF_K, DeviceScene, SceneHost
+from imsim_tpu.io.checkpoint import Checkpointer
+
+
+def _bright_host(img=256, flux=3e6, pix=(100.0, 80.0), field_xy=None):
+    """One very bright star.  If field_xy is given, COL_X/COL_Y hold
+    those (radian-scale field angles, as the optics path does) and the
+    true pixel position lives in pix_x/pix_y."""
+    n = 1
+    wl = np.linspace(550.0, 690.0, WL_CDF_K, dtype=np.float32)
+    cx, cy = field_xy if field_xy is not None else pix
+    scene = DeviceScene.from_columns(
+        x=np.array([cx]), y=np.array([cy]),
+        obj_type=np.zeros(n), p0=np.zeros(n), p1=np.ones(n),
+        p2=np.ones(n), p3=np.zeros(n), g1=np.zeros(n),
+        g2=np.zeros(n), mu=np.ones(n),
+        wl_icdf=np.broadcast_to(wl, (n, WL_CDF_K)))
+    return SceneHost(scene=scene, flux=np.array([flux]),
+                     nominal_flux=np.array([flux]), n_objects=n,
+                     pix_x=np.array([pix[0]]), pix_y=np.array([pix[1]]))
+
+
+def _fft_cfg(img=256):
+    return PoolingConfig(xsize=img, ysize=img, faint_thresh=10.0,
+                         fft_sb_thresh=1e4)
+
+
+def test_fft_stamp_placed_at_pixel_not_field_angle():
+    # COL_X/COL_Y carry field angles (~0.01 rad) as in the optics path;
+    # the stamp must land at the pixel position, not at floor(0.01)-N/2.
+    host = _bright_host(field_xy=(0.01, -0.005))
+    cfg = _fft_cfg()
+    img, modes = render_ccd_pooled(3, host, cfg)
+    assert modes[0] == FFT
+    a = np.asarray(img)
+    assert a.sum() > 0.9 * host.flux[0]
+    yy, xx = np.mgrid[:256, :256]
+    cx = (a * xx).sum() / a.sum()
+    cy = (a * yy).sum() / a.sum()
+    assert abs(cx - 100.0) < 1.0, cx
+    assert abs(cy - 80.0) < 1.0, cy
+
+
+def test_fft_noise_keyed_by_visit_seed():
+    host = _bright_host()
+    cfg = _fft_cfg()
+    img_a, _ = render_ccd_pooled(3, host, cfg)
+    img_b, _ = render_ccd_pooled(3, host, cfg)
+    img_c, _ = render_ccd_pooled(4, host, cfg)
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+    assert np.any(np.asarray(img_a) != np.asarray(img_c))
+
+
+def test_fft_pass_applies_spikes_when_wired():
+    host = _bright_host(flux=5e7, pix=(128.0, 128.0))
+    cfg = _fft_cfg()
+    kern = jnp.asarray(spike_kernel(622.0, alpha_deg=45.0, n=129))
+    spikes = dict(kernel=kern, sat=20_000.0)
+    img_plain, _ = render_ccd_pooled(3, host, cfg)
+    img_spiked, _ = render_ccd_pooled(3, host, cfg, spikes=spikes)
+    a = np.asarray(img_spiked)
+    p = np.asarray(img_plain)
+    # total flux preserved up to spike wings clipped at the stamp edge
+    # (the reference clips the overlay to fft_image bounds too)
+    assert 0.99 * p.sum() < a.sum() < p.sum() + 5 * np.sqrt(p.sum())
+    # 45-degree arms: flux added along the diagonal, none along the axes
+    r = np.arange(25, 60)
+    added_diag = a[128 + r, 128 + r].sum() - p[128 + r, 128 + r].sum()
+    added_axis = a[128 + r, 128].sum() - p[128 + r, 128].sum()
+    assert added_diag > 10 * np.sqrt(p[128 + r, 128 + r].sum() + 1), \
+        added_diag
+    assert abs(added_axis) < 8 * np.sqrt(p[128 + r, 128].sum() + 1), \
+        added_axis
+    # core charge redistributed (peak reduced)
+    assert a.max() < p.max()
+
+
+def test_add_stamps_batched_clipping():
+    img = jnp.zeros((64, 64), jnp.float32)
+    st = jnp.ones((3, 16, 16), jnp.float32)
+    # fully inside; hanging off the left edge; fully outside
+    x0 = jnp.asarray([10, -8, -16], jnp.int32)
+    y0 = jnp.asarray([10, 0, 70], jnp.int32)
+    out = np.asarray(F.add_stamps(img, st, x0, y0))
+    assert out.sum() == 16 * 16 + 8 * 16
+    assert out[10:26, 10:26].sum() == 256
+    assert out[0:16, 0:8].sum() == 128
+
+
+def test_checkpoint_recovery_keeps_current_over_truncated_new(tmp_path):
+    path = str(tmp_path / "c.h5")
+    ck = Checkpointer(path)
+    ck.save("state", {"batch": 1})
+    ck.save("state", {"batch": 2})
+    # crash mid-save: truncated _new beside an intact current
+    with open(path + "_new", "wb") as f:
+        f.write(b"\x89HDF\r\n truncated garbage")
+    ck2 = Checkpointer(path)
+    assert ck2.load("state") == {"batch": 2}
+    assert not os.path.exists(path + "_new")
+
+
+def test_checkpoint_recovery_promotes_new_when_current_absent(tmp_path):
+    path = str(tmp_path / "c.h5")
+    ck = Checkpointer(path)
+    ck.save("state", {"batch": 5})
+    # crash between the two renames: current moved away, _new complete
+    os.replace(path, path + "_new")
+    ck2 = Checkpointer(path)
+    assert ck2.load("state") == {"batch": 5}
+
+
+def test_checkpoint_recovery_from_bak(tmp_path):
+    path = str(tmp_path / "c.h5")
+    ck = Checkpointer(path)
+    ck.save("state", {"batch": 7})
+    os.replace(path, path + "_bak")
+    ck2 = Checkpointer(path)
+    assert ck2.load("state") == {"batch": 7}
