@@ -82,10 +82,28 @@ def load_telescope(telescope: str = "LSST", band: str = "r",
                     else:
                         raise ValueError(f"unknown perturbation {kind}")
     if fea:
-        for optic, coef in fea.items():
-            for surf in OPTIC_SURFACES[optic]:
-                tel = tel.with_zernikes(surf, np.asarray(coef, float),
-                                        start_j=4)
+        if all(k in OPTIC_SURFACES for k in fea):
+            # legacy shorthand: raw per-mirror Zernike lists
+            for optic, coef in fea.items():
+                for surf in OPTIC_SURFACES[optic]:
+                    tel = tel.with_zernikes(surf, np.asarray(coef, float),
+                                            start_j=4)
+        else:
+            # the reference's LSSTBuilder.with_* config surface
+            # (telescope_loader.py:26-118) — see optics.fea
+            from .fea import fea_instructions
+
+            for inst in fea_instructions(fea):
+                if inst[0] == "zern":
+                    _, optic, coef, start_j = inst
+                    for surf in OPTIC_SURFACES[optic]:
+                        tel = tel.with_zernikes(surf, coef, start_j)
+                elif inst[0] == "shift":
+                    for surf in OPTIC_SURFACES[inst[1]]:
+                        tel = tel.with_shift(surf, inst[2])
+                elif inst[0] == "rot":
+                    for surf in OPTIC_SURFACES[inst[1]]:
+                        tel = tel.with_rot(surf, inst[2], inst[3])
     return LoadedTelescope(tel=tel, band=band, rotTelPos=float(rotTelPos))
 
 

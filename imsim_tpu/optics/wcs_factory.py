@@ -124,8 +124,13 @@ class WCSFactory:
             thy.extend(cy + r * np.sin(a))
         return np.array(thx), np.array(thy)
 
-    def get_wcs(self, ccd: CCD, z_offset: float = 0.0) -> TanSipWCS:
-        """Fit the order-3 TAN-SIP pixel->ICRF WCS for one detector."""
+    def get_wcs(self, ccd: CCD, z_offset: float = None) -> TanSipWCS:
+        """Fit the order-3 TAN-SIP pixel->ICRF WCS for one detector.
+
+        z_offset defaults to the detector's focal height offset
+        (imsim/batoid_wcs.py:36,407-411 det_z_offset semantics)."""
+        if z_offset is None:
+            z_offset = getattr(ccd, "height_mm", 0.0) * 1e-3
         tel = self.telescope.for_detector(ccd.det_name, z_offset)
         thx, thy = self.field_samples(ccd, tel)
         fx, fy = self.field_to_focal_m(thx, thy, tel)

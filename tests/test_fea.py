@@ -1,0 +1,123 @@
+"""FEA / active-optics perturbation tests (the LSSTBuilder.with_* config
+surface of imsim/telescope_loader.py:26-118, modeled bending-mode basis)
+and per-detector z offsets (DetectorTelescope, :354-415).
+"""
+import numpy as np
+import pytest
+
+from imsim_tpu.optics.fea import fea_instructions, parse_angle
+from imsim_tpu.optics.loader import load_telescope
+from imsim_tpu.optics.opd import annular_zernikes
+
+
+def _zk(tel, jmax=22):
+    return np.asarray(annular_zernikes(tel, 0.0, 0.0, 622.0, jmax=jmax,
+                                       nx=65))
+
+
+def test_parse_angle_units():
+    assert abs(parse_angle("30 deg") - np.radians(30)) < 1e-12
+    assert abs(parse_angle("3600 arcsec") - np.radians(1)) < 1e-12
+    assert abs(parse_angle(0.5) - 0.5) < 1e-15
+    assert abs(parse_angle("0.5 rad") - 0.5) < 1e-15
+
+
+def test_m1m3_gravity_perturbs_opd_and_vanishes_at_zenith():
+    base = load_telescope()
+    g30 = load_telescope(fea={"m1m3_gravity": {"zenith": "30 deg"}})
+    g0 = load_telescope(fea={"m1m3_gravity": {"zenith": 0.0}})
+    z_base = _zk(base.fiducial)
+    z_g30 = _zk(g30.fiducial)
+    z_g0 = _zk(g0.fiducial)
+    # build orientation (zenith = 0) -> no print-through
+    np.testing.assert_allclose(z_g0, z_base, atol=1e-12)
+    # at 30 deg the OPD measurably changes (>= 10 nm rms somewhere)
+    diff = np.abs(z_g30 - z_base)
+    assert diff.max() > 10e-9, diff.max()
+
+
+def test_m1m3_lut_cancels_gravity():
+    g = load_telescope(fea={"m1m3_gravity": {"zenith": "45 deg"}})
+    comp = load_telescope(fea={"m1m3_gravity": {"zenith": "45 deg"},
+                               "m1m3_lut": {"zenith": "45 deg"}})
+    base = load_telescope()
+    assert np.abs(_zk(comp.fiducial) - _zk(base.fiducial)).max() < 1e-12
+    # with actuator errors the cancellation is imperfect but close
+    noisy = load_telescope(fea={"m1m3_gravity": {"zenith": "45 deg"},
+                                "m1m3_lut": {"zenith": "45 deg",
+                                             "error": 0.05, "seed": 3}})
+    resid = np.abs(_zk(noisy.fiducial) - _zk(base.fiducial)).max()
+    full = np.abs(_zk(g.fiducial) - _zk(base.fiducial)).max()
+    assert 0 < resid < 0.25 * full
+
+
+def test_temperature_terms_scale_linearly():
+    t1 = load_telescope(fea={"m1m3_temperature": {"m1m3_TBulk": 0.1}})
+    t2 = load_telescope(fea={"m1m3_temperature": {"m1m3_TBulk": 0.2}})
+    base = load_telescope()
+    d1 = _zk(t1.fiducial) - _zk(base.fiducial)
+    d2 = _zk(t2.fiducial) - _zk(base.fiducial)
+    # rtol bounded by the numerical Zernike-fit noise of the OPD probe
+    np.testing.assert_allclose(d2, 2 * d1, rtol=1e-3, atol=1e-10)
+
+
+def test_aos_dof_rigid_body_and_bending():
+    dof = np.zeros(50)
+    dof[0] = 10.0           # M2 dz, microns
+    t = load_telescope(fea={"aos_dof": {"dof": dof}})
+    base = load_telescope()
+    # M2 despace mostly produces defocus (Noll j=4)
+    d = _zk(t.fiducial) - _zk(base.fiducial)
+    assert abs(d[3]) > 0.5 * np.abs(d).max() > 0
+    # bending mode
+    dof2 = np.zeros(50)
+    dof2[10] = 1.0
+    t2 = load_telescope(fea={"aos_dof": {"dof": dof2}})
+    assert np.abs(_zk(t2.fiducial) - _zk(base.fiducial)).max() > 10e-9
+    with pytest.raises(ValueError):
+        fea_instructions({"aos_dof": {"dof": [0.0] * 10}})
+
+
+def test_unknown_fea_term_raises():
+    with pytest.raises(ValueError):
+        fea_instructions({"m9_gravity": {"zenith": 0.1}})
+
+
+def test_legacy_fea_zernike_lists_still_work():
+    t = load_telescope(fea={"M2": [50e-9, 0, 0]})
+    base = load_telescope()
+    assert np.abs(_zk(t.fiducial) - _zk(base.fiducial)).max() > 1e-9
+
+
+def test_per_detector_z_offset_changes_focus():
+    from imsim_tpu.electronics.camera import get_camera
+
+    cam = get_camera("LsstCamSim")
+    heights = [cam[d].height_mm for d in ("R22_S11", "R01_S00", "R11_S22")]
+    assert len(set(heights)) == 3          # per-detector, deterministic
+    assert max(abs(h) for h in heights) < 0.05  # within flatness budget
+    tel = load_telescope()
+    t0 = tel.for_detector("R22_S11", z_offset=0.0)
+    t1 = tel.for_detector("R22_S11", z_offset=20e-6)
+    assert abs(t0.det_z - t1.det_z - (-20e-6)) < 1e-12 or \
+        abs(t1.det_z - t0.det_z - 20e-6) < 1e-12
+
+
+def test_runner_uses_detector_height(tmp_path):
+    """render_one_ccd must trace through the per-detector telescope:
+    the detector z the photons land on equals fiducial + height."""
+    from imsim_tpu.electronics.camera import get_camera
+    from imsim_tpu.optics.wcs_factory import make_wcs_factory
+
+    DEG = np.pi / 180
+    fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")
+    cam = get_camera("LsstCamSim")
+    ccd = cam["R22_S11"]
+    wcs_a = fac.get_wcs(ccd)                    # defaults to height_mm
+    wcs_b = fac.get_wcs(ccd, z_offset=0.0)      # explicitly fiducial
+    # a ~10 um defocus shifts the plate solution measurably but slightly
+    ra_a, dec_a = wcs_a.xy_to_radec(3000.0, 3000.0)
+    ra_b, dec_b = wcs_b.xy_to_radec(3000.0, 3000.0)
+    sep = np.hypot((ra_a - ra_b) * np.cos(dec_a), dec_a - dec_b)
+    assert sep > 0, "z offset had no effect on the WCS"
+    assert sep < 1e-5                            # < 2 arcsec
