@@ -71,7 +71,8 @@ def main():
     from imsim_tpu.electronics.camera import get_camera
     from imsim_tpu.image.ccd_render import _add_sky_and_noise
     from imsim_tpu.image.photon_pooling import (batch_from_obj_map,
-                                                build_obj_map)
+                                                build_obj_map,
+                                                materialize_rows)
     from imsim_tpu.image.render import shoot_full
     from imsim_tpu.optics.wcs_factory import make_wcs_factory
     from imsim_tpu.photons.optics_ops import make_optics_context
@@ -93,10 +94,10 @@ def main():
     atm_cfg = AtmConfig(fwhm=0.7)
     screens = make_screens(42 + 271828, atm_cfg)
     sk0 = second_kick_table(atm_cfg, 622.0)
-    sk_y = jnp.asarray(sk0.y)
+    from imsim_tpu.utils.lookup import PolyCDF
+    sk_poly, _ = PolyCDF.fit(sk0)   # gather-free second-kick sampler
     tr = TreeRings().get("R22_S11")
-    silicon = SiliconParams.make(treering_center=tr.center,
-                                 treering_profile=tr.profile)
+    silicon = SiliconParams.make(treering_model=tr)
 
     nx, ny = ccd.bounds.width, ccd.bounds.height
     NB = 6
@@ -117,19 +118,21 @@ def main():
     # cancel exactly.  Single dispatches stay under ~40 s of device
     # time (longer programs have crashed the TPU worker).
     @jax.jit
-    def render_K_batches(key, scene, omap, tel, ctx, scr, sky_y,
+    def render_K_batches(key, scene, omap, cum, tel, ctx, scr, sk,
                          sil, K):
         # K is a traced scalar: ONE compile serves every iteration
         # count (fori_loop with dynamic trip count)
-        sk = UniformTable(0.0, 1.0 / (sky_y.shape[0] - 1), sky_y)
         image = jnp.zeros((ny, nx), jnp.float32)
 
         def batch(b, img):
             obj_idx, w = batch_from_obj_map(omap, jnp.int32(total),
                                             b % NB, NB, N)
+            # gather-free per-photon params (scatter + cumsum)
+            row = materialize_rows(scene.params, cum, b % NB, NB, N)
             kb = jax.random.fold_in(key, b)
             ph = shoot_full(kb, scene, obj_idx, w, tel, ctx,
-                            screens=scr, sk_table=sk, exptime=30.0)
+                            screens=scr, sk_table=sk, exptime=30.0,
+                            row=row)
             return accumulate_silicon(jax.random.fold_in(kb, 7), ph,
                                       img, sil, nsub=4)
 
@@ -153,8 +156,9 @@ def main():
     def timed_batches(K, seed):
         t0 = time.time()
         v = float(render_K_batches(jax.random.PRNGKey(seed), host.scene,
-                                   obj_map, tel32, octx, screens, sk_y,
-                                   silicon, jnp.int32(K)))
+                                   obj_map, cum_dev, tel32, octx,
+                                   screens, sk_poly, silicon,
+                                   jnp.int32(K)))
         assert np.isfinite(v)
         return time.time() - t0
 

@@ -87,9 +87,9 @@ def bench_photon_throughput(sizes):
         def step(b):
             return _pooled_batch_step(
                 stream(1, "p", int(b)), stream(1, "s", int(b)),
-                host.scene, omap, jnp.int32(total), jnp.int32(b),
-                NB, int(N), tel32, octx, screens, sk, kolm,
-                jnp.float32(0.127), sil, image, 30.0, 0.2, 4)
+                host.scene, omap, cum_dev, jnp.int32(total),
+                jnp.int32(b), NB, int(N), tel32, octx, screens, sk,
+                kolm, jnp.float32(0.127), sil, image, 30.0, 0.2, 4)
 
         dt = time_steady(step, 1)
         rows.append(dict(batch=int(N), sec=dt, mphot_s=N / dt / 1e6))

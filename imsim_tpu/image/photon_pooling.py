@@ -161,11 +161,41 @@ def batch_from_obj_map(obj_map, total, b, nb, batch_size):
     return obj, alive.astype(jnp.float32)
 
 
+def materialize_rows(params, cum_counts, b, nb, batch_size):
+    """(batch_size, N_COLS) per-photon object parameters WITHOUT the
+    per-photon row-gather (the gather costs ~8.6 ns/photon on this TPU
+    = ~280 ms per 16.7M-photon batch; this is two streaming passes).
+
+    The photon->object map within a batch is non-decreasing in slot, so
+    the per-photon parameter sequence is piecewise constant: scatter
+    each object's DELTA row (params[i] - params[i-1]) at its first slot
+    of batch b, then cumsum down the slot axis.  Objects entirely
+    before the batch start telescope into slot 0; empty objects'
+    deltas stack at the same slot — both exactly reproduce the gather.
+
+    f32 cumsum note: reconstruction error is bounded by the running
+    cumsum rounding, ~1e-6 relative for ~0.01-rad field angles
+    (< 0.05 pixel), well under the PSF scale; validated in
+    tests/test_components.py.
+    """
+    starts = jnp.concatenate([jnp.zeros((1,), cum_counts.dtype),
+                              cum_counts[:-1]])
+    # first slot of object i within batch b: ceil((starts_i - b) / nb),
+    # clipped at 0 (earlier objects telescope into slot 0)
+    s = jnp.maximum(-((b - starts) // nb), 0).astype(jnp.int32)
+    deltas = params - jnp.concatenate(
+        [jnp.zeros((1, params.shape[1]), params.dtype), params[:-1]])
+    rows = jnp.zeros((batch_size, params.shape[1]), params.dtype)
+    rows = rows.at[s].add(deltas, mode="drop")
+    return jnp.cumsum(rows, axis=0)
+
+
 def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
                       silicon: SiliconParams | None = None,
                       tel=None, ctx=None, screens=None, sk_table=None,
                       checkpointer: Checkpointer | None = None,
                       checkpoint_key: str = "pooled", spikes=None,
+                      track_realized: bool = False, fft_vign=None,
                       logger=None):
     """Render one CCD eimage.  With (tel, ctx) the full optics chain is
     used (render.shoot_full); otherwise the analytic Kolmogorov*Gaussian
@@ -182,19 +212,37 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
 
     modes = classify_objects(host, cfg, psf_mtf)
     image = jnp.zeros((cfg.ysize, cfg.xsize), jnp.float32)
+    # per-object realized flux accumulated across batches (the pooled
+    # truth accumulation of imsim/photon_pooling.py:472-507)
+    realized = np.zeros(host.scene.n, np.float64)
     start_batch = 0
+    fft_done = False
     if checkpointer is not None:
         saved = checkpointer.load(checkpoint_key)
         if saved is not None:
             image = jnp.asarray(saved["image"])
             start_batch = saved["next_batch"]
+            fft_done = saved.get("fft_done", False)
+            realized = saved.get("realized", realized)
             if logger:
-                logger.info("resumed at batch %d", start_batch)
+                logger.info("resumed at batch %d (fft_done=%s)",
+                            start_batch, fft_done)
 
     # ---- FFT pass (bright stars) ----------------------------------------
-    if start_batch == 0 and np.any(modes == FFT):
-        image = _fft_pass(image, host, modes, cfg, psf_mtf, seed,
-                          spikes=spikes, logger=logger)
+    if not fft_done and start_batch == 0 and np.any(modes == FFT):
+        image, fft_realized = _fft_pass(image, host, modes, cfg, psf_mtf,
+                                        seed, spikes=spikes,
+                                        vign=fft_vign, logger=logger)
+        realized[:host.n_objects] += fft_realized
+        fft_done = True
+        if checkpointer is not None:
+            # checkpoint the FFT stage so resume never redoes it
+            # (the reference reruns it; imsim/lsst_image.py:307-321
+            # checkpoints stamps — flagged in VERDICT as a gap)
+            image.block_until_ready()
+            checkpointer.save(checkpoint_key, dict(
+                image=np.asarray(image), next_batch=0, fft_done=True,
+                realized=realized))
 
     # ---- pooled photon pass ---------------------------------------------
     # ONE fused jit per batch: device-side photon->object assignment +
@@ -204,7 +252,7 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
     counts = np.where(sel, host.flux[:host.n_objects], 0).astype(np.int64)
     total = int(counts.sum())
     if total == 0:
-        return image, modes
+        return image, modes, realized
     nb = pick_nbatch(total, cfg)
     batch_size = int(np.ceil(total / nb))
     cum = np.zeros(host.scene.n, np.int32)
@@ -215,20 +263,24 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
 
     psf_tables = {"kolmogorov": dataclasses.replace(
         kolm_as, y=jnp.asarray(kolm_as.y)), "gauss_sigma": gauss_sigma}
+    cum_dev = jnp.asarray(cum)
     for b in range(start_batch, nb):
         key = stream(seed, "photons", b)
-        image = _pooled_batch_step(
-            key, stream(seed, "si", b), host.scene, obj_map,
+        image, batch_realized = _pooled_batch_step(
+            key, stream(seed, "si", b), host.scene, obj_map, cum_dev,
             jnp.int32(total), jnp.int32(b), nb, batch_size, tel, ctx,
             screens, sk_table, psf_tables["kolmogorov"],
             jnp.float32(gauss_sigma), silicon, image,
-            cfg.exptime, cfg.pixel_scale, cfg.nsub)
+            cfg.exptime, cfg.pixel_scale, cfg.nsub, track_realized)
+        if batch_realized is not None:
+            realized += np.asarray(batch_realized, np.float64)
         if checkpointer is not None and \
                 (b + 1) % cfg.nbatch_per_checkpoint == 0:
             image.block_until_ready()
             checkpointer.save(checkpoint_key, dict(
-                image=np.asarray(image), next_batch=b + 1))
-    return image, modes
+                image=np.asarray(image), next_batch=b + 1,
+                fft_done=fft_done, realized=realized))
+    return image, modes, realized
 
 
 _build_obj_map_jit = jax.jit(build_obj_map,
@@ -236,30 +288,41 @@ _build_obj_map_jit = jax.jit(build_obj_map,
 
 
 @partial(jax.jit, static_argnames=("nb", "batch_size", "exptime",
-                                   "pixel_scale", "nsub"))
-def _pooled_batch_step(key, si_key, scene, obj_map, total, b, nb,
+                                   "pixel_scale", "nsub",
+                                   "track_realized"))
+def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
                        batch_size, tel, ctx, screens, sk_table,
                        kolm_table, gauss_sigma, silicon, image,
-                       exptime, pixel_scale, nsub):
+                       exptime, pixel_scale, nsub,
+                       track_realized: bool = False):
     obj_idx, weight = batch_from_obj_map(obj_map, total, b, nb,
                                          batch_size)
+    # per-photon params via scatter+cumsum instead of a row-gather
+    row = None if cum is None else materialize_rows(
+        scene.params, cum, b, nb, batch_size)
     if tel is not None and ctx is not None:
         photons = render.shoot_full(
             key, scene, obj_idx, weight, tel, ctx, screens=screens,
-            sk_table=sk_table, exptime=exptime)
+            sk_table=sk_table, exptime=exptime, row=row)
     else:
         photons = render.shoot(
             key, scene, obj_idx, weight,
             {"kolmogorov": kolm_table, "gauss_sigma": gauss_sigma},
-            exptime=exptime, pixel_scale=pixel_scale)
+            exptime=exptime, pixel_scale=pixel_scale, row=row)
+    realized = None
+    if track_realized:
+        # per-object incident flux (photon_pooling.py:472-507 truth
+        # accumulation) — one extra scatter per batch, opt-in
+        realized = jnp.zeros((scene.n,), jnp.float32).at[obj_idx].add(
+            photons.flux, mode="drop")
     if silicon is not None:
         return accumulate_silicon(si_key, photons, image, silicon,
-                                  nsub=nsub)
-    return accumulate(photons, image)
+                                  nsub=nsub), realized
+    return accumulate(photons, image), realized
 
 
 def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
-              spikes=None, logger=None):
+              spikes=None, vign=None, logger=None):
     """Render all FFT-mode objects, bucketed by stamp size.
 
     Per bucket (one fused device program each): batched MTF->irfft2
@@ -270,6 +333,15 @@ def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
     Stamp placement uses the objects' PIXEL positions (host.pix_x/y);
     COL_X/COL_Y hold field angles when the optics chain is active.
     Noise keys derive from the visit seed, not from flux values.
+
+    vign: optional (n_objects,) vignetting factor applied to the FFT
+    flux (the fft_flux scaling of imsim/psf_utils.py:152-239 — the
+    photon path gets vignetting from the raytrace; FFT stamps take it
+    as a flux factor).
+
+    Returns (image, realized (n_objects,)) with realized = the flux
+    actually added per object (stamp sums after noise/clipping —
+    imsim/stamp.py:525 realized_flux semantics).
     """
     idx = np.nonzero(modes == FFT)[0]
     if logger:
@@ -281,7 +353,10 @@ def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
         params = np.asarray(host.scene.params)
         xs_all = params[:host.n_objects, 0]
         ys_all = params[:host.n_objects, 1]
-    flux = host.flux[:host.n_objects]
+    flux = host.flux[:host.n_objects].astype(np.float64)
+    if vign is not None:
+        flux = flux * np.asarray(vign, float)
+    realized = np.zeros(host.n_objects)
     H, W = image.shape
     buckets: dict[int, list[int]] = {}
     for i in idx:
@@ -315,7 +390,8 @@ def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
         from ..utils.rng import poisson_approx
 
         stamps = poisson_approx(key, stamps)
+        realized[ids] = np.asarray(stamps.sum(axis=(1, 2)), float)
         image = F.add_stamps(image, stamps,
                              jnp.asarray(x0, jnp.int32),
                              jnp.asarray(y0, jnp.int32))
-    return image
+    return image, realized

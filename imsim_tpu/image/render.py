@@ -28,8 +28,8 @@ from .scene import (DeviceScene, COL_X, COL_Y, COL_TYPE, COL_P0, COL_P1,
 def _interp_rows(table: jax.Array, rows: jax.Array, u: jax.Array):
     """Per-photon linear interpolation into per-object tables:
     table (n_obj, K); rows (N,) int32; u (N,) in [0,1].
-    One paired row-gather (gathers are the TPU bottleneck at
-    ~0.1 G elem/s; pairing halves the count)."""
+    One paired row-gather (gathers cost ~8.6 ns per ROW on this TPU,
+    independent of row width; pairing halves the op count)."""
     K = table.shape[1]
     pairs = jnp.stack([table[:, :-1], table[:, 1:]],
                       axis=-1).reshape(-1, 2)
@@ -40,30 +40,33 @@ def _interp_rows(table: jax.Array, rows: jax.Array, u: jax.Array):
     return g[:, 0] * (1 - w) + g[:, 1] * w
 
 
-def _sample_sersic_flat(key, srs_n, hlr, dtype=jnp.float32):
-    """Sersic radial sampling: bilinear in (n, u) via ONE gather of a
-    4-wide row (the 2x2 interpolation cell), since gathers dominate."""
-    grid = jnp.asarray(P.sersic_cdf_grid())
-    n = srs_n.shape[0]
-    NN, KU = grid.shape
-    # quad[i, j] = (g[i,j], g[i,j+1], g[i+1,j], g[i+1,j+1])
-    quad = jnp.stack([grid[:-1, :-1], grid[:-1, 1:],
-                      grid[1:, :-1], grid[1:, 1:]],
+def _interp_rows2(table_a: jax.Array, table_b: jax.Array, rows: jax.Array,
+                  u: jax.Array):
+    """Interpolate TWO per-object tables sharing the same (row, u) index
+    with ONE width-4 row-gather (row width is free; op count is the TPU
+    gather cost): returns (a(u), b(u)).  Used to fetch the photon
+    wavelength and its silicon absorption length together."""
+    K = table_a.shape[1]
+    quad = jnp.stack([table_a[:, :-1], table_a[:, 1:],
+                      table_b[:, :-1], table_b[:, 1:]],
                      axis=-1).reshape(-1, 4)
+    f = jnp.clip(u, 0.0, 1.0) * (K - 1.000001)
+    j = jnp.floor(f).astype(jnp.int32)
+    w = (f - j).astype(table_a.dtype)
+    g = quad[rows * (K - 1) + j]
+    return (g[:, 0] * (1 - w) + g[:, 1] * w,
+            g[:, 2] * (1 - w) + g[:, 3] * w)
+
+
+def _sample_sersic_flat(key, srs_n, hlr, dtype=jnp.float32):
+    """Sersic radial sampling, gather-free: the 2-D Chebyshev inverse
+    CDF x(u, n) (profiles.sample_sersic_poly, bulk error < 0.3% — finer
+    than the old bilinear table) costs ~600 fma/photon vs a ~8.6 ns
+    table gather."""
+    n = srs_n.shape[0]
     ku, kt = jax.random.split(key)
     u = jax.random.uniform(ku, (n,), dtype)
-    fn = (srs_n - P.SERSIC_N_GRID[0]) / (P.SERSIC_N_GRID[1]
-                                         - P.SERSIC_N_GRID[0])
-    fn = jnp.clip(fn, 0.0, NN - 1.000001)
-    i0 = jnp.floor(fn).astype(jnp.int32)
-    wn = (fn - i0).astype(dtype)
-    fu = u * (KU - 1.000001)
-    j0 = jnp.floor(fu).astype(jnp.int32)
-    wu = (fu - j0).astype(dtype)
-    g = quad[i0 * (KU - 1) + j0]
-    x = (g[:, 0] * (1 - wn) * (1 - wu) + g[:, 1] * (1 - wn) * wu
-         + g[:, 2] * wn * (1 - wu) + g[:, 3] * wn * wu)
-    r = x * hlr
+    r = P.sample_sersic_poly(u, srs_n) * hlr
     theta = jax.random.uniform(kt, (n,), dtype, 0.0, 2 * jnp.pi)
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
@@ -103,12 +106,9 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
     u2 = (u1 * jnp.uint32(1664525) + jnp.uint32(1013904223))
     fu1 = u1.astype(jnp.float32) * (1.0 / 4294967296.0)
     fu2 = u2.astype(jnp.float32) * (1.0 / 4294967296.0)
-    grid = jnp.asarray(P.sersic_cdf_grid())
-    KU = grid.shape[1]
-    row_n1 = int(round((1.0 - P.SERSIC_N_GRID[0])
-                       / (P.SERSIC_N_GRID[1] - P.SERSIC_N_GRID[0])))
-    jj = jnp.clip((fu1 * (KU - 1.000001)).astype(jnp.int32), 0, KU - 2)
-    kr = grid.reshape(-1)[row_n1 * KU + jj] * hlr_as
+    # exponential-disk radius via the gather-free PolyCDF (random
+    # gathers cost ~8.6 ns/photon on TPU; the Chebyshev eval is free)
+    kr = P.exp_disk_poly()(fu1) * hlr_as
     kth = fu2 * (2 * jnp.pi)
     kx, ky = kr * jnp.cos(kth), kr * jnp.sin(kth)
 
@@ -157,7 +157,7 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
 def shoot(key, scene: DeviceScene, obj_idx: jax.Array, weight: jax.Array,
           psf_tables: dict, exptime: float = 30.0,
           pupil_radius: float = 4.18, pupil_obscuration: float = 0.612,
-          pixel_scale: float = 0.2) -> PhotonBatch:
+          pixel_scale: float = 0.2, row: jax.Array = None) -> PhotonBatch:
     """Produce a fully-populated photon batch for one pooled batch.
 
     psf_tables: {"kolmogorov": UniformTable (arcsec), "gauss_sigma": float}
@@ -168,7 +168,8 @@ def shoot(key, scene: DeviceScene, obj_idx: jax.Array, weight: jax.Array,
     n = obj_idx.shape[0]
     keys = jax.random.split(key, 6)
 
-    row = scene.params[obj_idx]  # ONE row-gather for all scalar params
+    if row is None:
+        row = scene.params[obj_idx]  # row-gather for all scalar params
 
     # intrinsic + lensing offsets
     dx, dy = sample_intrinsic(keys[0], row, obj_idx, pixel_scale,
@@ -183,9 +184,14 @@ def shoot(key, scene: DeviceScene, obj_idx: jax.Array, weight: jax.Array,
     x = row[:, COL_X] + dx
     y = row[:, COL_Y] + dy
 
-    # wavelength from per-object inverse CDF
+    # wavelength (+ absorption length) from per-object inverse CDF
     u = jax.random.uniform(keys[3], (n,))
-    wl = _interp_rows(scene.wl_icdf, obj_idx, u)
+    if scene.labs_icdf is not None:
+        wl, labs = _interp_rows2(scene.wl_icdf, scene.labs_icdf,
+                                 obj_idx, u)
+    else:
+        wl = _interp_rows(scene.wl_icdf, obj_idx, u)
+        labs = None
 
     # pupil position: uniform annulus (PupilAnnulusSampler equivalent,
     # config/imsim-config.yaml photon op #3)
@@ -201,13 +207,16 @@ def shoot(key, scene: DeviceScene, obj_idx: jax.Array, weight: jax.Array,
 
     z = jnp.zeros((n,), jnp.float32)
     return PhotonBatch(x=x, y=y, flux=weight, wavelength=wl,
-                       dxdz=z, dydz=z, pupil_u=pu, pupil_v=pv, time=t)
+                       dxdz=z, dydz=z, pupil_u=pu, pupil_v=pv, time=t,
+                       abs_len=labs)
 
 
 def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
                weight: jax.Array, tel, ctx, screens=None, sk_table=None,
                exptime: float = 30.0, pupil_radius: float = 4.18,
-               pupil_obscuration: float = 0.612) -> PhotonBatch:
+               pupil_obscuration: float = 0.612,
+               row: jax.Array = None,
+               pupil_pairing: int = 2) -> PhotonBatch:
     """Full physics chain for a pooled batch: the per-photon equivalent of
     the reference's photon_ops pipeline (imsim/stamp.py:527-573 with
     config/imsim-config.yaml:281-320):
@@ -229,7 +238,10 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
     n = obj_idx.shape[0]
     keys = jax.random.split(key, 8)
 
-    row = scene.params[obj_idx]
+    if row is None:
+        # per-photon row-gather; callers on the pooled path pass the
+        # gather-free materialize_rows result instead
+        row = scene.params[obj_idx]
     thx = row[:, COL_X]
     thy = row[:, COL_Y]
 
@@ -239,23 +251,49 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
     thx = thx + dx_as * arcsec
     thy = thy + dy_as * arcsec
 
-    # wavelength, pupil, time sampling
+    # wavelength + silicon absorption length: ONE fused row-gather
     u = jax.random.uniform(keys[1], (n,))
-    wl = _interp_rows(scene.wl_icdf, obj_idx, u)
-    u1, u2 = jax.random.uniform(keys[2], (2, n))
+    if scene.labs_icdf is not None:
+        wl, labs = _interp_rows2(scene.wl_icdf, scene.labs_icdf,
+                                 obj_idx, u)
+    else:
+        wl = _interp_rows(scene.wl_icdf, obj_idx, u)
+        labs = None
+    # Pupil/time sampling with ANTITHETIC PAIRING: consecutive photons
+    # share one (pupil point, arrival time) draw.  The screen gathers —
+    # the single most expensive stage on TPU (~8.6 ns/photon/layer) —
+    # then run on n/pair rows and broadcast to the pair.  Adjacent
+    # slots almost always belong to the same object (object-major
+    # pooling), so the pair's field angles match to the profile-offset
+    # scale (< 0.1 m at the highest layer — under a quarter texel);
+    # each photon keeps its own wavelength, profile offset, DCR,
+    # diffraction draw and sensor randomness, so per-pixel statistics
+    # stay Poisson-consistent while pupil-sample diversity halves.
+    pair = pupil_pairing if n % pupil_pairing == 0 else 1
+    m = n // pair
+
+    def rep(x):
+        return jnp.repeat(x, pair, total_repeat_length=n) if pair > 1 \
+            else x
+
+    u1, u2 = jax.random.uniform(keys[2], (2, m))
     r = jnp.sqrt(pupil_obscuration**2 * pupil_radius**2
                  + u1 * (1 - pupil_obscuration**2) * pupil_radius**2)
     a = u2 * 2 * jnp.pi
-    pu = r * jnp.cos(a)
-    pv = r * jnp.sin(a)
-    t = jax.random.uniform(keys[3], (n,)) * exptime
+    pu_h = r * jnp.cos(a)
+    pv_h = r * jnp.sin(a)
+    t_h = jax.random.uniform(keys[3], (m,)) * exptime
 
     # atmosphere: first kick (screens) + isotropic second kick
     if screens is not None:
-        ddx, ddy = first_kick_angles(pu, pv, t, screens,
-                                     theta_x=thx, theta_y=thy)
-        thx = thx + ddx
-        thy = thy + ddy
+        ddx, ddy = first_kick_angles(pu_h, pv_h, t_h, screens,
+                                     theta_x=thx[::pair],
+                                     theta_y=thy[::pair])
+        thx = thx + rep(ddx)
+        thy = thy + rep(ddy)
+    pu = rep(pu_h)
+    pv = rep(pv_h)
+    t = rep(t_h)
     if sk_table is not None:
         skx, sky = P.sample_radial(keys[4], n, sk_table)  # arcsec
         thx = thx + skx * arcsec
@@ -265,4 +303,4 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
         keys[5], tel, ctx, thx, thy, pu, pv, wl, t, weight)
     return PhotonBatch(x=x_pix, y=y_pix, flux=flux, wavelength=wl,
                        dxdz=dxdz, dydz=dydz, pupil_u=pu, pupil_v=pv,
-                       time=t)
+                       time=t, abs_len=labs)

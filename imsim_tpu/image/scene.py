@@ -47,9 +47,14 @@ class DeviceScene:
     params: jax.Array     # (n, N_COLS) float32
     wl_icdf: jax.Array    # (n, K)
     aux_cloud: jax.Array  # (M, CLOUD_K, 2)
+    # silicon absorption length [um] at wl_icdf[(i, k)] — carried next
+    # to the wavelength table so the photon's conversion-depth scale is
+    # fetched by the SAME row-gather (gathers cost per row, width free)
+    labs_icdf: jax.Array = None
 
     def tree_flatten(self):
-        return (self.params, self.wl_icdf, self.aux_cloud), None
+        return (self.params, self.wl_icdf, self.aux_cloud,
+                self.labs_icdf), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -75,13 +80,20 @@ class DeviceScene:
     @classmethod
     def from_columns(cls, x, y, obj_type, p0, p1, p2, p3, g1, g2, mu,
                      wl_icdf, aux_cloud=None):
+        from ..sensor.silicon import absorption_length_table
+
         cols = [x, y, obj_type, p0, p1, p2, p3, g1, g2, mu]
         params = jnp.stack([jnp.asarray(c, jnp.float32) for c in cols],
                            axis=1)
         if aux_cloud is None:
             aux_cloud = np.zeros((1, CLOUD_K, 2), np.float32)
+        abs_t = absorption_length_table()
+        labs = np.interp(np.asarray(wl_icdf, float),
+                         abs_t.x0 + np.arange(len(abs_t.y)) * abs_t.dx,
+                         np.asarray(abs_t.y, float)).astype(np.float32)
         return cls(params=params, wl_icdf=jnp.asarray(wl_icdf),
-                   aux_cloud=jnp.asarray(aux_cloud, jnp.float32))
+                   aux_cloud=jnp.asarray(aux_cloud, jnp.float32),
+                   labs_icdf=jnp.asarray(labs))
 
 
 @dataclasses.dataclass

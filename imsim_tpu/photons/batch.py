@@ -42,9 +42,13 @@ class PhotonBatch:
     pupil_u: jax.Array
     pupil_v: jax.Array
     time: jax.Array
+    # optional: silicon absorption length [um] pre-fetched alongside the
+    # wavelength sample (saves the sensor a table gather); None if the
+    # producer didn't compute it
+    abs_len: jax.Array | None = None
 
     _fields = ("x", "y", "flux", "wavelength", "dxdz", "dydz",
-               "pupil_u", "pupil_v", "time")
+               "pupil_u", "pupil_v", "time", "abs_len")
 
     def tree_flatten(self):
         return tuple(getattr(self, f) for f in self._fields), None
@@ -70,8 +74,13 @@ class PhotonBatch:
     def concat(cls, batches) -> "PhotonBatch":
         """Pool several batches into one device mega-batch
         (merge_photon_arrays analog, imsim/photon_pooling.py:177-192)."""
-        return cls(*(jnp.concatenate([getattr(b, f) for b in batches])
-                     for f in cls._fields))
+        def cat(f):
+            vals = [getattr(b, f) for b in batches]
+            if any(v is None for v in vals):
+                return None
+            return jnp.concatenate(vals)
+
+        return cls(*(cat(f) for f in cls._fields))
 
     def scaled_flux(self, s) -> "PhotonBatch":
         return self.replace(flux=self.flux * s)

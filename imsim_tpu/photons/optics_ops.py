@@ -92,19 +92,16 @@ def dcr_kick(ctx: OpticsContext, thx, thy, wavelength_nm):
     The WCS (and therefore the object's nominal field angle) includes
     refraction at the band's reference wavelength; each photon gets the
     *differential* altitude shift R(lambda) - R(lambda_ref), applied
-    zenith-ward (the +v axis of the alt-az field frame)."""
+    zenith-ward (the +v axis of the alt-az field frame).
+
+    TPU note: the Edlen index is evaluated analytically per photon —
+    ~10 VPU flops — instead of a table gather (random gathers cost
+    ~8.6 ns/row on this chip regardless of width; flops are free)."""
     # alt-az frame v component of this photon
     v = ctx.srot * thx + ctx.crot * thy
     alt = ctx.bore_alt + v
-    # per-photon air index by ONE paired table gather
-    fidx = jnp.clip((wavelength_nm - XI_WAVE_MIN)
-                    / ((XI_WAVE_MAX - XI_WAVE_MIN) / (XI_N - 1)),
-                    0.0, XI_N - 1.000001)
-    i0 = fidx.astype(jnp.int32)
-    wfrac = fidx - i0
-    xi2 = jnp.stack([ctx.xi_table[:-1], ctx.xi_table[1:]], axis=-1)
-    g = xi2[i0]
-    xi = g[:, 0] * (1 - wfrac) + g[:, 1] * wfrac
+    xi = G.air_index_excess(jnp, wavelength_nm, ctx.pressure_kpa,
+                            ctx.temperature_k, ctx.h2o_kpa)
     beta = 0.001254
     k1 = xi * (1.0 - beta)
     k2 = -xi * (beta + xi * 0.5)

@@ -251,6 +251,94 @@ def sersic_cdf_grid(n_u: int = 1024):
     return grid
 
 
+@functools.lru_cache(maxsize=2)
+def sersic_poly2d(d_core=16, d_tail=10, d_n=10, u_split=0.85,
+                  u_max=0.9999):
+    """Gather-free 2-D inverse CDF of the Sersic family: x(u, n) as
+    Chebyshev-in-u (the PolyCDF core/tail split) whose coefficients are
+    themselves Chebyshev in the Sersic index n over SERSIC_N_GRID.
+
+    Returns (D_core (d_core+1, d_n+1), D_tail (d_tail+1, d_n+1),
+    n_lo, n_hi, u_split, s_lo, s_hi): per photon the device evaluates
+    the n-basis T_k(x_n) once, forms each u-coefficient as a dot with
+    T, and runs Clenshaw in u — ~600 fma instead of a table gather
+    (TPU gathers cost ~8.6 ns/photon; VPU flops are free).
+    Max bulk (u in [0.01, 0.99]) relative radius error < 1%.
+    """
+    import numpy.polynomial.chebyshev as C
+
+    n_lo, n_hi = float(SERSIC_N_GRID[0]), float(SERSIC_N_GRID[-1])
+    s_lo = -np.log1p(-u_split)
+    s_hi = -np.log1p(-u_max)
+    x = np.linspace(-1, 1, 2048)
+    u_core = u_split * ((x + 1) / 2) ** 2
+    t = np.linspace(-1, 1, 2048)
+    s = s_lo + (t + 1) / 2 * (s_hi - s_lo)
+    u_tail = -np.expm1(-s)
+    cores = []
+    tails = []
+    for n in SERSIC_N_GRID:
+        b = _sersic_b(n)
+        r_core = (special.gammaincinv(2 * n, u_core) / b) ** n
+        r_tail = (special.gammaincinv(2 * n, u_tail) / b) ** n
+        cores.append(C.chebfit(x, r_core, d_core))
+        tails.append(C.chebfit(t, np.log(np.maximum(r_tail, 1e-12)),
+                               d_tail))
+    xn = 2 * (np.asarray(SERSIC_N_GRID) - n_lo) / (n_hi - n_lo) - 1
+    D_core = np.stack([C.chebfit(xn, np.array(cores)[:, j], d_n)
+                       for j in range(d_core + 1)])
+    D_tail = np.stack([C.chebfit(xn, np.array(tails)[:, j], d_n)
+                       for j in range(d_tail + 1)])
+    return (D_core.astype(np.float32), D_tail.astype(np.float32),
+            n_lo, n_hi, float(u_split), float(s_lo), float(s_hi))
+
+
+def sample_sersic_poly(u, srs_n):
+    """Device: x = r/Re from (u, n) via the 2-D Chebyshev inverse CDF."""
+    D_core, D_tail, n_lo, n_hi, u_split, s_lo, s_hi = sersic_poly2d()
+    xn = jnp.clip(2 * (srs_n - n_lo) / (n_hi - n_lo) - 1, -1.0, 1.0)
+    # Chebyshev basis in n by recurrence: T (d_n+1) per photon
+    K = D_core.shape[1]
+    T = [jnp.ones_like(xn), xn]
+    for _ in range(K - 2):
+        T.append(2 * xn * T[-1] - T[-2])
+    T = T[:K]
+
+    def clenshaw(D, z):
+        b1 = jnp.zeros_like(z)
+        b2 = jnp.zeros_like(z)
+        for j in range(D.shape[0] - 1, 0, -1):
+            cj = sum(float(D[j, k]) * T[k] for k in range(K))
+            b1, b2 = cj + 2 * z * b1 - b2, b1
+        c0 = sum(float(D[0, k]) * T[k] for k in range(K))
+        return c0 + z * b1 - b2
+
+    u = jnp.clip(u, 0.0, 1.0 - 1e-7)
+    z_core = jnp.clip(2.0 * jnp.sqrt(u / u_split) - 1.0, -1.0, 1.0)
+    r_core = clenshaw(D_core, z_core)   # D_* stay host numpy: the
+    s = -jnp.log1p(-u)                  # scalars fold into the program
+    z_tail = jnp.clip(2.0 * (s - s_lo) / (s_hi - s_lo) - 1.0, -1.0, 1.0)
+    r_tail = jnp.exp(clenshaw(D_tail, z_tail))
+    return jnp.where(u < u_split, jnp.maximum(r_core, 0.0), r_tail)
+
+
+@functools.lru_cache(maxsize=2)
+def exp_disk_poly():
+    """Gather-free inverse CDF of the exponential disk (Sersic n = 1,
+    the RandomKnots placement profile): PolyCDF fit of the n = 1 row of
+    the Sersic grid — ~30 fma per photon instead of a table gather."""
+    from ..utils.lookup import PolyCDF, UniformTable
+
+    grid = sersic_cdf_grid()
+    row = int(round((1.0 - SERSIC_N_GRID[0])
+                    / (SERSIC_N_GRID[1] - SERSIC_N_GRID[0])))
+    tab = UniformTable(0.0, 0.9999 / (grid.shape[1] - 1),
+                       np.asarray(grid[row]))
+    poly, err = PolyCDF.fit(tab)
+    assert err < 0.35, err  # bulk error is far smaller; tail-r dominated
+    return poly
+
+
 # ----------------------------------------------------------------------------
 # Device-side samplers
 # ----------------------------------------------------------------------------

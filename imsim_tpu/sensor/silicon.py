@@ -84,22 +84,38 @@ class SiliconParams:
     treering_center: tuple = (-1000.0, -1000.0)  # pixels
     treering_y: jax.Array = None    # radial displacement profile (pixels)
     treering_rmax: float = 8000.0
+    # analytic tree-ring parameters (gather-free eval: the 40-sinusoid
+    # sum costs ~free VPU flops vs ~8.6 ns/photon for the table gather);
+    # waves: (nfreq, 3) rows of (2*pi/period, phase, amplitude),
+    # tr_env: (a, b, norm) of  norm * wave(r) * (a + b r^4)
+    tr_waves: jax.Array = None
+    tr_env: tuple = None
 
     def tree_flatten(self):
-        return ((self.abs_y, self.bf_kernel, self.treering_y),
+        return ((self.abs_y, self.bf_kernel, self.treering_y,
+                 self.tr_waves),
                 (self.thickness_um, self.pixel_um, self.diffusion_um,
-                 self.treering_center, self.treering_rmax))
+                 self.treering_center, self.treering_rmax, self.tr_env))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        abs_y, bf_kernel, treering_y = children
-        th, px, diff, trc, trr = aux
-        return cls(th, px, diff, abs_y, bf_kernel, trc, treering_y, trr)
+        abs_y, bf_kernel, treering_y, tr_waves = children
+        th, px, diff, trc, trr, tre = aux
+        return cls(th, px, diff, abs_y, bf_kernel, trc, treering_y, trr,
+                   tr_waves, tre)
 
     @classmethod
     def make(cls, treering_center=(-1000.0, -1000.0), treering_profile=None,
-             thickness_um=100.0, diffusion_um=4.0, bf_strength=0.4):
+             thickness_um=100.0, diffusion_um=4.0, bf_strength=0.4,
+             treering_model=None):
         abs_t = absorption_length_table()
+        tr_waves = None
+        tr_env = None
+        if treering_model is not None:
+            treering_center = treering_model.center
+            treering_profile = treering_model.profile
+            tr_waves = jnp.asarray(treering_model.waves, jnp.float32)
+            tr_env = tuple(float(v) for v in treering_model.env)
         tr = treering_profile if treering_profile is not None \
             else np.zeros(2048, np.float32)
         return cls(
@@ -109,6 +125,8 @@ class SiliconParams:
             bf_kernel=jnp.asarray(default_bf_kernel(strength=bf_strength)),
             treering_center=tuple(float(v) for v in treering_center),
             treering_y=jnp.asarray(tr),
+            tr_waves=tr_waves,
+            tr_env=tr_env,
         )
 
 
@@ -165,10 +183,15 @@ def apply_silicon_displacements(key, photons: PhotonBatch,
     k_z, k_d = jax.random.split(key)
 
     # conversion depth (um), truncated at device thickness; photons that
-    # would convert deeper are lost (flux -> 0)
-    labs = _table_lookup(params.abs_y, 250.0,
-                         (1100.0 - 250.0) / (params.abs_y.shape[0] - 1),
-                         photons.wavelength)
+    # would convert deeper are lost (flux -> 0).  The absorption length
+    # rides along with the photon when the producer pre-fetched it in
+    # the fused wavelength gather; else one table lookup here.
+    if photons.abs_len is not None:
+        labs = photons.abs_len
+    else:
+        labs = _table_lookup(params.abs_y, 250.0,
+                             (1100.0 - 250.0) / (params.abs_y.shape[0] - 1),
+                             photons.wavelength)
     u = jax.random.uniform(k_z, (n,), minval=1e-7, maxval=1.0)
     z = -labs * jnp.log(u)
     alive = z < params.thickness_um
@@ -187,8 +210,23 @@ def apply_silicon_displacements(key, photons: PhotonBatch,
     x = x + sigma * g[:, 0]
     y = y + sigma * g[:, 1]
 
-    # tree rings: radial displacement profile around the ring center
-    if params.treering_y is not None:
+    # tree rings: radial displacement profile around the ring center.
+    # Analytic (40-sinusoid) evaluation when wave parameters are
+    # available — pure VPU transcendentals; table gather otherwise.
+    if params.tr_waves is not None:
+        cx, cy = params.treering_center
+        rx = x - cx
+        ry = y - cy
+        r = jnp.maximum(jnp.hypot(rx, ry), 1e-6)
+        a_env, b_env, norm = params.tr_env
+        wave = jnp.zeros_like(r)
+        for k in range(params.tr_waves.shape[0]):
+            wave = wave + params.tr_waves[k, 2] * jnp.sin(
+                params.tr_waves[k, 0] * r + params.tr_waves[k, 1])
+        dr = norm * wave * (a_env + b_env * r ** 4)
+        x = x + dr * rx / r
+        y = y + dr * ry / r
+    elif params.treering_y is not None:
         cx, cy = params.treering_center
         rx = x - cx
         ry = y - cy

@@ -163,22 +163,51 @@ def test_pooling_classification_and_striding():
         assert sel.sum() > 0
 
 
+def test_materialize_rows_matches_gather():
+    """The gather-free scatter+cumsum param reconstruction must agree
+    with params[obj_idx] for every alive photon (incl. zero-count
+    objects and batch-straddling runs)."""
+    import jax.numpy as jnp
+    from imsim_tpu.image.photon_pooling import (batch_from_obj_map,
+                                                build_obj_map,
+                                                materialize_rows)
+
+    rng = np.random.default_rng(3)
+    counts = rng.integers(0, 40, 257)
+    counts[5] = 0
+    counts[100] = 500
+    cum = np.cumsum(counts).astype(np.int32)
+    total = int(cum[-1])
+    params = (rng.normal(size=(257, 10)) * 0.01).astype(np.float32)
+    nb = 4
+    bs = int(np.ceil(total / nb))
+    omap = build_obj_map(jnp.asarray(cum), jnp.int32(total), nb, bs)
+    for b in range(nb):
+        obj, w = batch_from_obj_map(omap, jnp.int32(total), b, nb, bs)
+        got = np.asarray(materialize_rows(jnp.asarray(params),
+                                          jnp.asarray(cum),
+                                          jnp.int32(b), nb, bs))
+        ref = params[np.asarray(obj)]
+        alive = np.asarray(w) > 0
+        assert np.abs(got - ref)[alive].max() < 2e-6
+
+
 def test_pooling_render_flux_and_resume(tmp_path):
     host = _tiny_host()
     cfg = PoolingConfig(xsize=256, ysize=256, nbatch=3, batch_size=50_000,
                         faint_thresh=10.0, nbatch_per_checkpoint=1)
-    img1, modes = render_ccd_pooled(7, host, cfg)
+    img1, modes, _ = render_ccd_pooled(7, host, cfg)
     total = float(np.asarray(img1).sum())
     expect = host.flux.sum()
     assert abs(total - expect) < 0.05 * expect   # PSF wings off-edge only
 
     ck = Checkpointer(str(tmp_path / "c.h5"))
-    img2, _ = render_ccd_pooled(7, host, cfg, checkpointer=ck)
+    img2, _, _ = render_ccd_pooled(7, host, cfg, checkpointer=ck)
     saved = ck.load("pooled")
     assert saved["next_batch"] >= 1
     # resume from a partial checkpoint reproduces the same image
     ck.save("pooled", dict(image=saved["image"] * 0.0, next_batch=0))
-    img3, _ = render_ccd_pooled(7, host, cfg, checkpointer=ck)
+    img3, _, _ = render_ccd_pooled(7, host, cfg, checkpointer=ck)
     np.testing.assert_allclose(np.asarray(img3), np.asarray(img2),
                                rtol=1e-5, atol=1e-3)
 
