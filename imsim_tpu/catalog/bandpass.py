@@ -12,6 +12,7 @@ scales with airmass).  A user can drop in measured curves via
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import lru_cache
 
@@ -143,6 +144,100 @@ def rubin_bandpass(band: str, airmass: float | None = None) -> Bandpass:
     bp = Bandpass(hw.wave, hw.throughput * atm, band)
     bp = bp.truncate(1e-3).with_zeropoint_ab()
     return bp
+
+
+def read_ecsv_qe(path):
+    """Parse an obs_lsst transmission_sensor ECSV table (columns
+    amp_name, wavelength, efficiency[%]) without astropy, averaging the
+    per-amp curves (imsim/bandpass.py:140-150 behavior).  Returns
+    (wave_nm, throughput)."""
+    import csv
+
+    rows = []
+    header = None
+    delim = ","
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                if "delimiter" in line:
+                    delim = line.split(":")[-1].strip().strip("'\"") or ","
+                continue
+            if header is None:
+                header = next(csv.reader([line], delimiter=delim))
+                continue
+            rows.append(next(csv.reader([line], delimiter=delim)))
+    i_amp = header.index("amp_name")
+    i_w = header.index("wavelength")
+    i_e = header.index("efficiency")
+    amps: dict = {}
+    for r in rows:
+        amps.setdefault(r[i_amp], []).append((float(r[i_w]),
+                                              float(r[i_e])))
+    waves = None
+    total = None
+    for vals in amps.values():
+        vals.sort()
+        w = np.array([v[0] for v in vals])
+        e = np.array([v[1] for v in vals]) / 100.0
+        if waves is None:
+            waves, total = w, e
+        else:
+            total = total + np.interp(waves, w, e)
+    return waves, total / len(amps)
+
+
+def rubin_bandpass_from_files(band, throughputs_dir, airmass=None,
+                              camera=None, det_name=None):
+    """Total bandpass from the reference's rubin_sim throughput files
+    (imsim/bandpass.py:60-185):
+
+      baseline/total_{band}.dat                (airmass None, no QE)
+      atmos/atmos_XX_aerosol.dat x AtmInterpolator  (airmass given)
+      baseline/hardware_{band}.dat             (generic hardware)
+      {camera}/transmission_sensor/{det}/ *.ecsv x filter/mirrors/lenses
+                                               (per-detector QE)
+    """
+    import glob as _glob
+
+    base = os.path.join(throughputs_dir, "baseline")
+    if airmass is None and camera is None:
+        w, t = np.loadtxt(os.path.join(base, f"total_{band}.dat"),
+                          unpack=True)
+        return Bandpass(w, t, band).truncate(1e-3).with_zeropoint_ab()
+    X = 1.2 if airmass is None else float(airmass)
+    atmos = {}
+    for f in sorted(_glob.glob(os.path.join(throughputs_dir, "atmos",
+                                            "atmos_??_aerosol.dat"))):
+        xval = float(os.path.basename(f)[6:8]) / 10.0
+        w_atm, t_atm = np.loadtxt(f, unpack=True)
+        atmos[xval] = t_atm
+    Xs = sorted(atmos)
+    interp = AtmInterpolator(np.array(Xs),
+                             np.array([atmos[x] for x in Xs]))
+    t_atm = interp(X)
+    if camera is not None and det_name is not None:
+        cam_dir = {"LsstCamSim": "lsstCam",
+                   "LsstComCamSim": "comCamSim"}.get(camera, camera)
+        qe_files = _glob.glob(os.path.join(
+            throughputs_dir, cam_dir, "transmission_sensor",
+            det_name.lower(), "*.ecsv"))
+        if len(qe_files) != 1:
+            raise ValueError(f"expected 1 QE file for {det_name}, found "
+                             f"{len(qe_files)}")
+        qw, qt = read_ecsv_qe(qe_files[0])
+        w_hw, t_hw = np.loadtxt(os.path.join(base, f"filter_{band}.dat"),
+                                unpack=True)
+        for part in ("m1.dat", "m2.dat", "m3.dat", "lens1.dat",
+                     "lens2.dat", "lens3.dat"):
+            _, tp = np.loadtxt(os.path.join(base, part), unpack=True)
+            t_hw = t_hw * tp
+        t_hw = t_hw * np.interp(w_hw, qw, qt, left=0.0, right=0.0)
+    else:
+        w_hw, t_hw = np.loadtxt(os.path.join(base,
+                                             f"hardware_{band}.dat"),
+                                unpack=True)
+    t_total = t_hw * np.interp(w_hw, w_atm, t_atm, left=0.0, right=0.0)
+    return Bandpass(w_hw, t_total, band).truncate(1e-3).with_zeropoint_ab()
 
 
 class AtmInterpolator:

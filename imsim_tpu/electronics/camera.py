@@ -91,7 +91,7 @@ class CCD(dict):
     """dict of Amp keyed by name + CCD-level info."""
 
     def __init__(self, det_name, vendor, serial, bounds, center_mm,
-                 full_well, xtalk):
+                 full_well, xtalk, height_mm=0.0):
         super().__init__()
         self.det_name = det_name
         self.vendor = vendor
@@ -100,6 +100,11 @@ class CCD(dict):
         self.center_mm = center_mm   # (x, y) focal plane
         self.full_well = full_well
         self.xtalk = xtalk           # (16, 16) crosstalk matrix
+        # per-detector focal height offset (the cameraGeom orientation
+        # height consumed as a telescope z-offset, imsim/batoid_wcs.py:36
+        # + telescope_loader.py:398-415); synthesized at LSST flatness
+        # tolerance scale like the rest of the camera model
+        self.height_mm = height_mm
 
     def getSerial(self):
         return self.serial
@@ -139,9 +144,10 @@ def build_ccd(det_name: str, bias_levels: dict | None = None) -> CCD:
             row_j, col_j = divmod(j, 8)
             d = abs(col_i - col_j) + 4 * abs(row_i - row_j)
             xt[i, j] = rng.normal(0, 2e-6) + (2e-6 / (1 + d * d))
+    height_mm = float(_det_hash(det_name, "height").normal(0.0, 0.008))
     ccd = CCD(det_name, vendor, serial,
               Bounds(0, nx - 1, 0, ny - 1), (cx, cy),
-              spec["full_well"], xt)
+              spec["full_well"], xt, height_mm=height_mm)
 
     raw_nx = pre + anx + sos
     raw_ny = any_ + pos
@@ -169,19 +175,45 @@ class Camera(dict):
     """Camera['R22_S11'] -> CCD.  det_num ordering is name-sorted, matching
     the reference's det_num <-> det_name convention (imsim/ccd.py:34-40)."""
 
-    def __init__(self, camera_class="LsstCamSim", bias_levels_file=None):
+    def __init__(self, camera_class="LsstCamSim", bias_levels_file=None,
+                 overrides_file=None):
+        """bias_levels_file: the reference's per-amp bias JSON
+        ({det: {amp: adu}}, imsim/camera.py:178-201).
+
+        overrides_file: measured electronics JSON replacing the
+        synthesized values — {det: {"gains": {amp: e-/ADU},
+        "read_noise": {amp: ADU}, "full_well": e-,
+        "xtalk": 16x16 list}} (the data the reference pulls from
+        lsst.obs.lsst cameraGeom at imsim/camera.py:128-143)."""
         super().__init__()
         self.camera_name = camera_class
         bias = None
         if bias_levels_file and os.path.isfile(bias_levels_file):
             with open(bias_levels_file) as f:
                 bias = json.load(f)
+        overrides = {}
+        if overrides_file and os.path.isfile(overrides_file):
+            with open(overrides_file) as f:
+                overrides = json.load(f)
         if camera_class == "LsstComCamSim":
             names = [f"R22_{s}" for s in SENSORS]
         else:
             names = [f"{r}_{s}" for r in SCIENCE_RAFTS for s in SENSORS]
         for n in sorted(names):
-            self[n] = build_ccd(n, bias)
+            ccd = build_ccd(n, bias)
+            ov = overrides.get(n)
+            if ov:
+                if "xtalk" in ov:
+                    ccd.xtalk = np.asarray(ov["xtalk"], float)
+                if "full_well" in ov:
+                    ccd.full_well = float(ov["full_well"])
+                    for a in ccd.values():
+                        a.full_well = float(ov["full_well"])
+                for aname, g in (ov.get("gains") or {}).items():
+                    ccd[aname].gain = float(g)
+                for aname, rn in (ov.get("read_noise") or {}).items():
+                    ccd[aname].read_noise = float(rn)
+            self[n] = ccd
         self.det_names = sorted(names)
 
     def det_name(self, det_num: int) -> str:
@@ -194,10 +226,12 @@ class Camera(dict):
 _camera_cache: dict = {}
 
 
-def get_camera(camera="LsstCamSim", bias_levels_file=None) -> Camera:
-    key = (camera, bias_levels_file)
+def get_camera(camera="LsstCamSim", bias_levels_file=None,
+               overrides_file=None) -> Camera:
+    key = (camera, bias_levels_file, overrides_file)
     if key not in _camera_cache:
-        _camera_cache[key] = Camera(camera, bias_levels_file)
+        _camera_cache[key] = Camera(camera, bias_levels_file,
+                                    overrides_file)
     return _camera_cache[key]
 
 

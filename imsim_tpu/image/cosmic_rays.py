@@ -88,6 +88,78 @@ class CosmicRayCatalog:
             i += n
         return cls(fps)
 
+    @classmethod
+    def read_catalog_fits(cls, path, extname="COSMIC_RAYS"):
+        """Read the reference's measured CR footprint catalog
+        (imsim/cosmic_rays.py:112-147): a FITS binary table of spans
+        with columns fp_id (int), x0, y0 (span start pixel) and
+        pixel_values (variable-length int array along +x).  Spans with
+        the same fp_id form one footprint; each span's pixels become
+        (dx, dy, e-) samples relative to the footprint's first span.
+
+        Returns (catalog, ccd_rate) with ccd_rate = n_footprints /
+        EXPTIME from the table header (the reference's default rate
+        derivation, :123-126)."""
+        from ..io.fits import read_bintable, read_fits
+
+        for hdr, payload in read_fits(path):
+            if str(hdr.get("EXTNAME", "")).strip() == extname:
+                break
+        else:
+            raise KeyError(f"no {extname} extension in {path}")
+        tab = read_bintable(hdr, payload)
+        fps = {}
+        for fp, x0, y0, vals in zip(tab["fp_id"], tab["x0"], tab["y0"],
+                                    tab["pixel_values"]):
+            fps.setdefault(int(fp), []).append(
+                (int(x0), int(y0), np.asarray(vals, float)))
+        out = []
+        for spans in fps.values():
+            ox, oy = spans[0][0], spans[0][1]
+            xs, ys, es = [], [], []
+            for x0, y0, vals in spans:
+                xs.append(np.arange(len(vals), dtype=float) + (x0 - ox))
+                ys.append(np.full(len(vals), float(y0 - oy)))
+                es.append(vals)
+            out.append((np.concatenate(xs), np.concatenate(ys),
+                        np.concatenate(es)))
+        exptime = float(hdr.get("EXPTIME", 1.0))
+        return cls(out), len(out) / max(exptime, 1e-9)
+
+    def write_catalog_fits(self, path, exptime, num_pix=16_000_000,
+                           extname="COSMIC_RAYS"):
+        """Write the reference-format span catalog (the inverse of
+        read_catalog_fits; format of imsim/cosmic_rays.py:150-185).
+        Footprint pixels are quantized to integer-pixel spans."""
+        from ..io.fits import HDU, BinTableHDU, write_fits
+
+        fp_id, x0s, y0s, vals = [], [], [], []
+        for i, (x, y, e) in enumerate(self.footprints):
+            ix = np.round(x).astype(int)
+            iy = np.round(y).astype(int)
+            for yy in np.unique(iy):
+                m = iy == yy
+                xs = ix[m]
+                es = e[m]
+                order = np.argsort(xs)
+                xs, es = xs[order], es[order]
+                # split into contiguous runs
+                brk = np.nonzero(np.diff(xs) != 1)[0] + 1
+                for seg_x, seg_e in zip(np.split(xs, brk),
+                                        np.split(es, brk)):
+                    fp_id.append(i)
+                    x0s.append(int(seg_x[0]))
+                    y0s.append(int(yy))
+                    vals.append(np.asarray(seg_e, np.int32))
+        hdu = BinTableHDU(
+            dict(fp_id=np.asarray(fp_id, np.int32),
+                 x0=np.asarray(x0s, np.int16),
+                 y0=np.asarray(y0s, np.int16),
+                 pixel_values=vals),
+            name=extname,
+            header={"EXPTIME": exptime, "NUM_PIX": num_pix})
+        write_fits(path, [HDU(None, is_primary=True), hdu])
+
 
 _default_catalog = None
 

@@ -137,7 +137,11 @@ def write_fits(path, hdus, overwrite=True):
         raise FileExistsError(path)
     buf = io.BytesIO()
     for i, hdu in enumerate(hdus):
-        if hdu.compress == "rice" and hdu.data is not None and i > 0:
+        if isinstance(hdu, BinTableHDU):
+            if i == 0:
+                buf.write(_serialize_image_hdu(HDU(None), primary=True))
+            buf.write(_serialize_bintable_hdu(hdu))
+        elif hdu.compress == "rice" and hdu.data is not None and i > 0:
             from .rice import serialize_rice_hdu
             buf.write(serialize_rice_hdu(hdu))
         else:
@@ -150,6 +154,148 @@ def write_fits(path, hdus, overwrite=True):
     else:
         with open(path, "wb") as f:
             f.write(raw)
+
+
+# ---------------------------------------------------------------------------
+# Binary tables (reference catalogs: cosmic rays, skyline maps, ...)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TFORM_SCALAR = {"L": ">u1", "B": ">u1", "I": ">i2", "J": ">i4",
+                 "K": ">i8", "E": ">f4", "D": ">f8"}
+_NP_TO_TFORM = {"u1": "B", "i2": "I", "i4": "J", "i8": "K",
+                "f4": "E", "f8": "D"}
+
+
+def _parse_tform(tform: str):
+    """-> (repeat, 'P'|'', type letter)."""
+    m = _re.match(r"^(\d*)([PQ]?)([LXBIJKAEDCM])", tform.strip())
+    if not m:
+        raise ValueError(f"unsupported TFORM {tform!r}")
+    return (int(m.group(1)) if m.group(1) else 1, m.group(2), m.group(3))
+
+
+def read_bintable(header: dict, payload: bytes) -> dict:
+    """Parse a BINTABLE payload into {column_name: data}.
+
+    Scalar columns -> (nrow,) or (nrow, repeat) arrays; 'A' columns ->
+    list of strings; variable-length 'P<t>()' columns -> list of
+    per-row arrays read from the heap (the format astropy writes for
+    e.g. the reference's cosmic-ray span catalog,
+    imsim/cosmic_rays.py:150-185).
+    """
+    nrow = int(header["NAXIS2"])
+    rowlen = int(header["NAXIS1"])
+    theap = int(header.get("THEAP", nrow * rowlen))
+    heap = payload[theap:]
+    rows = np.frombuffer(payload[:nrow * rowlen],
+                         np.uint8).reshape(nrow, rowlen)
+    out = {}
+    off = 0
+    for i in range(1, int(header["TFIELDS"]) + 1):
+        rep, var, letter = _parse_tform(str(header[f"TFORM{i}"]))
+        name = str(header.get(f"TTYPE{i}", f"col{i}")).strip()
+        if var == "P":
+            desc = rows[:, off:off + rep * 8]
+            dv = np.frombuffer(desc.tobytes(), ">i4").reshape(nrow, 2)
+            dt = np.dtype(_TFORM_SCALAR[letter])
+            out[name] = [np.frombuffer(
+                heap[o:o + c * dt.itemsize], dt).astype(dt.newbyteorder())
+                for c, o in dv]
+            off += rep * 8
+        elif var == "Q":
+            desc = rows[:, off:off + rep * 16]
+            dv = np.frombuffer(desc.tobytes(), ">i8").reshape(nrow, 2)
+            dt = np.dtype(_TFORM_SCALAR[letter])
+            out[name] = [np.frombuffer(
+                heap[o:o + c * dt.itemsize], dt).astype(dt.newbyteorder())
+                for c, o in dv]
+            off += rep * 16
+        elif letter == "A":
+            w = rep
+            raw = rows[:, off:off + w].tobytes()
+            out[name] = [raw[r * w:(r + 1) * w].decode("ascii").rstrip()
+                         for r in range(nrow)]
+            off += w
+        else:
+            dt = np.dtype(_TFORM_SCALAR[letter])
+            w = rep * dt.itemsize
+            a = np.frombuffer(rows[:, off:off + w].tobytes(), dt)
+            a = a.astype(dt.newbyteorder())
+            out[name] = a if rep == 1 else a.reshape(nrow, rep)
+            off += w
+    return out
+
+
+class BinTableHDU:
+    """Binary-table HDU for write_fits: columns is an ordered dict
+    {name: (nrow,) array | (nrow, rep) array | list of 1-D arrays
+    (variable length, stored as P descriptors + heap)}."""
+
+    def __init__(self, columns: dict, name=None, header=None):
+        self.columns = dict(columns)
+        self.name = name
+        self.header = dict(header or {})
+        self.is_primary = False
+        self.compress = None
+        self.data = None
+
+
+def _serialize_bintable_hdu(hdu: BinTableHDU) -> bytes:
+    names = list(hdu.columns)
+    nrow = None
+    specs = []            # (name, tform, cell bytes function)
+    heap = bytearray()
+    cells = []
+    for name in names:
+        col = hdu.columns[name]
+        if isinstance(col, list):      # variable-length
+            nrow = len(col) if nrow is None else nrow
+            base = np.asarray(col[0]).dtype if col else np.dtype("i4")
+            letter = _NP_TO_TFORM[base.str[1:]]
+            desc = np.empty((nrow, 2), ">i4")
+            for r, a in enumerate(col):
+                a = np.ascontiguousarray(np.asarray(a),
+                                         dtype=base.newbyteorder(">"))
+                desc[r] = (len(a), len(heap))
+                heap += a.tobytes()
+            specs.append((name, f"P{letter}()"))
+            cells.append(desc.view(np.uint8).reshape(nrow, 8))
+        else:
+            a = np.asarray(col)
+            nrow = a.shape[0] if nrow is None else nrow
+            if a.dtype.kind == "U" or a.dtype.kind == "S":
+                w = int(str(a.dtype)[2:]) if a.dtype.kind == "S" \
+                    else max(len(s) for s in a)
+                b = np.array([s.encode("ascii").ljust(w)[:w]
+                              for s in a.astype(str)])
+                specs.append((name, f"{w}A"))
+                cells.append(np.frombuffer(b.tobytes(),
+                                           np.uint8).reshape(nrow, w))
+            else:
+                be = a.astype(a.dtype.newbyteorder(">"))
+                letter = _NP_TO_TFORM[a.dtype.str[1:]]
+                rep = 1 if a.ndim == 1 else a.shape[1]
+                specs.append((name, f"{rep}{letter}"))
+                cells.append(be.view(np.uint8).reshape(nrow, -1))
+    rowlen = sum(c.shape[1] for c in cells)
+    table = np.concatenate(cells, axis=1)
+    payload = table.tobytes() + bytes(heap)
+    cards = [_card("XTENSION", "BINTABLE", "binary table extension"),
+             _card("BITPIX", 8), _card("NAXIS", 2),
+             _card("NAXIS1", rowlen), _card("NAXIS2", nrow),
+             _card("PCOUNT", len(heap)), _card("GCOUNT", 1),
+             _card("TFIELDS", len(names))]
+    for i, (name, tform) in enumerate(specs, start=1):
+        cards.append(_card(f"TTYPE{i}", name))
+        cards.append(_card(f"TFORM{i}", tform))
+    if hdu.name:
+        cards.append(_card("EXTNAME", hdu.name))
+    for k, v in hdu.header.items():
+        cards.append(_card(k, v))
+    pad = (-len(payload)) % BLOCK
+    return _header_bytes(cards) + payload + b"\0" * pad
 
 
 # ---------------------------------------------------------------------------
