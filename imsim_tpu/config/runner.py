@@ -124,13 +124,27 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
                            band=band, telescope=telescope, **weather)
 
     # --- bandpass, sky, sensors, vignetting ----------------------------------
-    bandpass = rubin_bandpass(band, airmass=float(ods.get("airmass", 1.0)))
+    bp_cfg = cfg.get("image", {}).get("bandpass", {}) or {}
+    tp_dir = bp_cfg.get("throughputs_dir")
+    if tp_dir:
+        # measured rubin_sim throughput files (imsim/bandpass.py:60-185)
+        from ..catalog.bandpass import rubin_bandpass_from_files
+
+        bandpass = rubin_bandpass_from_files(
+            band, tp_dir, airmass=float(ods.get("airmass", 1.0)))
+    else:
+        bandpass = rubin_bandpass(band,
+                                  airmass=float(ods.get("airmass", 1.0)))
     exptime = float(ods.get("exptime", 30.0))
     sky_model = SkyModel(exptime, ods.get("mjd_mid", 60674.0), bandpass,
                          airmass=float(ods.get("airmass", 1.0)),
                          moon_phase_deg=float(ods.get("moonPhase", 180.0)),
-                         moon_alt_rad=float(ods.get("moonAlt", -0.5)))
-    tree_rings = TreeRings()
+                         moon_alt_rad=float(ods.get("moonAlt", -0.5)),
+                         sun_alt_rad=float(ods.get("sunAlt", -57.3))
+                         * DEG)
+    tr_cfg = cfg.get("input", {}).get("tree_rings", {}) or {}
+    tree_rings = TreeRings(file_name=tr_cfg.get("file_name"),
+                           only_dets=tr_cfg.get("only_dets"))
     view.state["tree_rings"] = tree_rings
     vcfg = cfg.get("input", {}).get("vignetting", {}) or {}
     if vcfg.get("file_name"):
@@ -157,8 +171,12 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
         screens = make_screens(seed + 271828, atm_cfg)
 
     cam_name = cfg.get("output", {}).get("camera", "LsstCamSim")
+    r_cfg0 = cfg.get("output", {}).get("readout", {}) or {}
+    camera = get_camera(
+        cam_name, bias_levels_file=r_cfg0.get("bias_levels_file"),
+        overrides_file=r_cfg0.get("camera_overrides_file"))
     return VisitContext(cfg=cfg, view=view, opsim=ods,
-                        camera=get_camera(cam_name), telescope=telescope,
+                        camera=camera, telescope=telescope,
                         wcs_factory=fac, bandpass=bandpass,
                         sky_model=sky_model, tree_rings=tree_rings,
                         vignetting=vignetting, atm_cfg=atm_cfg,
@@ -197,7 +215,22 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
 
     wcs = ctx.wcs_factory.get_wcs(ccd)
     octx = make_optics_context(ctx.wcs_factory, ccd)
-    tel32 = ctx.wcs_factory.telescope.for_detector(det_name)
+    # per-detector QE bandpass (imsim/bandpass.py:129-183) when the
+    # measured transmission_sensor data are configured
+    bandpass = ctx.bandpass
+    bp_cfg = (cfg.get("image", {}) or {}).get("bandpass", {}) or {}
+    if bp_cfg.get("det_qe") and bp_cfg.get("throughputs_dir"):
+        from ..catalog.bandpass import rubin_bandpass_from_files
+
+        bandpass = rubin_bandpass_from_files(
+            ctx.opsim.get("band", "r"), bp_cfg["throughputs_dir"],
+            airmass=float(ctx.opsim.get("airmass", 1.0)),
+            camera=ctx.camera.camera_name, det_name=det_name)
+    # per-detector focal height -> telescope z-offset, so photons and
+    # the fitted WCS share the same detector surface
+    # (imsim/telescope_loader.py:354-415 DetectorTelescope)
+    tel32 = ctx.wcs_factory.telescope.for_detector(
+        det_name, z_offset=getattr(ccd, "height_mm", 0.0) * 1e-3)
     # the full optics chain (field-angle scene) only applies to the
     # AtmosphericPSF; fallback PSFs use the image-domain fast path
     use_optics = (cfg.get("psf", {}) or {}).get(
@@ -207,9 +240,8 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
     if img_cfg.get("type") == "LSST_Flat":
         from ..image.flat import FlatConfig, build_flat
 
-        tr = ctx.tree_rings.get(det_name)
-        sp = SiliconParams.make(treering_center=tr.center,
-                                treering_profile=tr.profile)
+        sp = SiliconParams.make(
+            treering_model=ctx.tree_rings.get(det_name))
         fcfg = FlatConfig(
             counts_per_pixel=float(img_cfg.get("counts_per_pixel",
                                                80_000.0)),
@@ -243,7 +275,7 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
         if isinstance(sed_dirs, str):
             sed_dirs = [sed_dirs]
         host = scene_mod.build_scene(
-            table, ctx.bandpass, sed_dirs, exptime=exptime,
+            table, bandpass, sed_dirs, exptime=exptime,
             rng=np.random.default_rng(ctx.seed + det_num))
         if use_optics:
             thx, thy = ctx.wcs_factory.icrf_to_field(table.ra, table.dec)
@@ -264,7 +296,7 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
         if isinstance(sed_dirs, str):
             sed_dirs = [sed_dirs]
         host = scene_mod.build_scene(
-            table, ctx.bandpass, sed_dirs, exptime=exptime,
+            table, bandpass, sed_dirs, exptime=exptime,
             rng=np.random.default_rng(ctx.seed + det_num))
         # optics chain wants field angles in COL_X/COL_Y
         if use_optics:
@@ -281,9 +313,8 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
     silicon = None
     sensor_cfg = img_cfg.get("sensor", {}) or {}
     if sensor_cfg.get("type", "Silicon") == "Silicon":
-        tr = ctx.tree_rings.get(det_name)
         silicon = SiliconParams.make(
-            treering_center=tr.center, treering_profile=tr.profile)
+            treering_model=ctx.tree_rings.get(det_name))
 
     # ---- pooled render -------------------------------------------------------
     ckpt = None
@@ -305,9 +336,13 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
 
     sk_table = None
     if ctx.atm_cfg is not None:
+        from ..utils.lookup import PolyCDF
+
         sk = second_kick_table(ctx.atm_cfg,
-                               ctx.bandpass.effective_wavelength)
-        sk_table = dataclasses.replace(sk, y=jnp.asarray(sk.y))
+                               bandpass.effective_wavelength)
+        # gather-free Chebyshev sampler (bulk fit error < 0.1%;
+        # random gathers cost ~8.6 ns/photon on this TPU)
+        sk_table, _ = PolyCDF.fit(sk)
 
     # fallback PSF families use the fast image-domain path (no raytrace):
     # DoubleGaussianPSF / KolmogorovPSF (imsim/atmPSF.py:448-538)
@@ -346,21 +381,34 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
         # rotator (reference: alpha = pi/4 - rottelpos)
         alpha_deg = 45.0 - float(ctx.opsim.get("rotTelPos", 0.0))
         kern = spike_kernel(
-            wavelength_nm=float(ctx.bandpass.effective_wavelength),
+            wavelength_nm=float(bandpass.effective_wavelength),
             pixel_scale=pcfg.pixel_scale, alpha_deg=alpha_deg,
             rot_smear_deg=max(smear_deg, 1e-3))
         spikes = dict(kernel=jnp.asarray(kern),
                       sat=float(dfft_cfg.get("brightness_threshold",
                                              ccd.full_well)))
 
+    realized = None
     if host is not None and host.n_objects > 0:
-        image, modes = render_ccd_pooled(
+        # FFT-stamp vignetting factors at the object positions (the
+        # fft flux scaling of imsim/psf_utils.py:152-239)
+        fft_vign = None
+        if pcfg.fft_sb_thresh > 0 and host.pix_x is not None:
+            yy_mm = (np.asarray(host.pix_y) - (ny - 1) / 2) \
+                * PIXEL_SIZE_MM + ccd.center_mm[1]
+            xx_mm = (np.asarray(host.pix_x) - (nx - 1) / 2) \
+                * PIXEL_SIZE_MM + ccd.center_mm[0]
+            fft_vign = ctx.vignetting(np.hypot(xx_mm, yy_mm))
+        track = bool((cfg.get("output", {}).get("truth", {})
+                      or {}).get("enabled", True))
+        image, modes, realized = render_ccd_pooled(
             ctx.seed + det_num, host, pcfg, silicon=silicon,
             tel=tel32 if use_optics else None,
             ctx=octx if use_optics else None,
             screens=ctx.screens if use_optics else None,
             sk_table=sk_table if use_optics else None,
-            checkpointer=ckpt, spikes=spikes, logger=logger)
+            checkpointer=ckpt, spikes=spikes, track_realized=track,
+            fft_vign=fft_vign, logger=logger)
     else:
         image, modes = jnp.zeros((ny, nx), jnp.float32), None
 
@@ -396,57 +444,64 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
                 sensor_fringing_seed(ccd.getSerial(),
                                      int(ctx.opsim.get("observationId", 0))),
                 boresight_offset_deg=0.0)
-            vig = vig * jnp.asarray(fr.fringing_map((ny, nx)))
+            skyline = None
+            sk_file = img_cfg.get("fringing_skyline_file")
+            if sk_file:
+                # measured OH skyline spatial-variation surface (the
+                # skyline_var.fits data, imsim/sky_model.py:221-233)
+                from ..io.fits import read_fits
+
+                for hdr_f, dat_f in read_fits(sk_file):
+                    if dat_f is not None:
+                        skyline = np.asarray(dat_f, float)
+                        break
+            vig = vig * jnp.asarray(fr.fringing_map(
+                (ny, nx), skyline_surface=skyline))
         image = _add_sky_and_noise(
             stream(ctx.seed, "sky", det_num), image,
             jnp.float32(sky_level), grad, vig, pcfg.pixel_scale)
 
     # ---- cosmic rays (host, sparse) -------------------------------------------
     eimage = np.asarray(image)
-    cr_rate = float(cfg.get("output", {}).get("cosmic_ray_rate", 0.0))
+    out_cfg0 = cfg.get("output", {})
+    cr_rate = float(out_cfg0.get("cosmic_ray_rate", 0.0))
     if cr_rate > 0:
+        from ..image.cosmic_rays import PIXEL_CM, CosmicRayCatalog
+
+        catalog = None
+        cat_path = out_cfg0.get("cosmic_ray_catalog")
+        if cat_path:
+            if str(cat_path).endswith((".fits", ".fits.gz")):
+                # measured span catalog (imsim/ccd.py:122-136 +
+                # cosmic_rays.py:112-147); header rate is CRs/CCD/s
+                catalog, cat_rate = \
+                    CosmicRayCatalog.read_catalog_fits(cat_path)
+            else:
+                catalog = CosmicRayCatalog.load(cat_path)
         eimage = paint_cosmic_rays(eimage.copy(), exptime,
                                    seed=ctx.seed * 189 + det_num,
-                                   ccd_rate=cr_rate, logger=logger)
+                                   ccd_rate=cr_rate, catalog=catalog,
+                                   logger=logger)
 
     result = dict(det_name=det_name, det_num=det_num, eimage=eimage,
-                  wcs=wcs, modes=modes, host=host, ccd=ccd, table=table)
+                  wcs=wcs, modes=modes, host=host, ccd=ccd, table=table,
+                  realized=realized)
     if write:
         write_outputs(ctx, result, logger)
     return result
 
 
 def eimage_header(ctx: VisitContext, det_name, wcs):
-    """DM-ingestible primary keywords (imsim/ccd.py:138-206 +
-    imsim/readout.py:208-299 get_primary_hdu analog, including the
-    recomputed rotSkyPos = rotTelPos - parallactic angle)."""
-    ods = ctx.opsim
+    """DM-ingestible eimage keywords (imsim/ccd.py:138-206) including
+    the recomputed rotSkyPos = rotTelPos - parallactic angle; full
+    keyword assembly lives in electronics.headers."""
+    from ..electronics.headers import eimage_header as _eh
+
     q = float(ctx.wcs_factory.obs.parallactic_angle())
-    rot_tel = float(ods.get("rotTelPos", 0.0))
-    rot_sky = (rot_tel - np.degrees(q)) % 360.0
-    h = {
-        "RUNNUM": int(ods.get("observationId", 0)),
-        "OBSID": int(ods.get("observationId", 0)),
-        "MJD-OBS": float(ods.get("observationStartMJD", 0.0)),
-        "EXPTIME": float(ods.get("exptime", 30.0)),
-        "DARKTIME": float(ods.get("exptime", 30.0)),
-        "FILTER": ods.get("band", "r"),
-        "DET_NAME": det_name,
-        "LSST_NUM": ctx.camera[det_name].getSerial(),
-        "CCD_MANU": ctx.camera[det_name].vendor,
-        "RATEL": float(ods.get("fieldRA", 0.0)),
-        "DECTEL": float(ods.get("fieldDec", 0.0)),
-        "ROTANGLE": rot_tel,
-        "ROTSKYPO": rot_sky,
-        "AIRMASS": float(ods.get("airmass", 1.0)),
-        "HASTART": float(ods.get("HA", 0.0)),
-        "AMSTART": float(ods.get("airmass", 1.0)),
-        "SEEING": float(ods.get("rawSeeing", 0.7)),
-        "CAMERA": ctx.cfg.get("output", {}).get("camera", "LsstCamSim"),
-        "INSTRUME": "imsim_tpu",
-    }
-    h.update(wcs.header_cards())
-    return h
+    ccd = ctx.camera[det_name]
+    return _eh(ctx.opsim, det_name, ccd.getSerial(), ccd.vendor,
+               ctx.cfg.get("output", {}).get("camera", "LsstCamSim"),
+               wcs, np.degrees(q))
 
 
 def write_outputs(ctx: VisitContext, result, logger=None):
@@ -478,20 +533,17 @@ def write_outputs(ctx: VisitContext, result, logger=None):
                                  jnp.asarray(eimage),
                                  exptime=float(ctx.opsim.get("exptime",
                                                              30.0))))
-        hdus = [HDU(None, header=eimage_header(ctx, det_name, wcs),
-                    is_primary=True)]
+        from ..electronics.headers import amp_header, raw_primary_header
+
+        eh = eimage_header(ctx, det_name, wcs)
+        hdus = [HDU(None, header=raw_primary_header(
+            eh, ccd.getSerial(),
+            ctx.cfg.get("output", {}).get("camera", "LsstCamSim")),
+            is_primary=True)]
         for k, aname in enumerate(ccd.amp_names):
-            amp = ccd[aname]
-            hdr = {
-                "EXTNAME": f"Segment{aname[1:]}",
-                "DATASEC": amp.raw_data_bounds.section_keyword(),
-                "DETSEC": amp.bounds.section_keyword(
-                    amp.raw_flip_x, amp.raw_flip_y),
-                "DETSIZE": ccd.bounds.section_keyword(),
-                "GAIN": amp.gain,
-            }
-            hdus.append(HDU(amps[k], header=hdr, name=None,
-                            compress="rice"))
+            hdus.append(HDU(amps[k], header=amp_header(ccd, ccd[aname],
+                                                       wcs),
+                            name=None, compress="rice"))
         rname = _format_name(r_cfg.get("file_name", "amp.fits"), ctx,
                              det_name, det_num)
         write_fits(os.path.join(outdir, rname), hdus)
@@ -541,7 +593,10 @@ def write_outputs(ctx: VisitContext, result, logger=None):
                                  ctx, det_name, det_num)
         write_fits(os.path.join(outdir, sname_out), hdus)
 
-    # truth catalog ("centroid" file, config/imsim-config.yaml:370-393)
+    # truth catalog ("centroid" file, config/imsim-config.yaml:370-393):
+    # object_id ra dec x y nominal_flux phot_flux fft_flux realized_flux
+    # with phot/fft split by rendering mode and realized accumulated
+    # across pooled batches (imsim/photon_pooling.py:472-507)
     t_cfg = out_cfg.get("truth", {}) or {}
     if t_cfg.get("enabled", True) and result["host"] is not None:
         host = result["host"]
@@ -549,19 +604,31 @@ def write_outputs(ctx: VisitContext, result, logger=None):
                              det_name, det_num)
         path = os.path.join(outdir, tname)
         table = result.get("table")
-        if table is not None:
-            xs, ys = table.x, table.y
+        if host.pix_x is not None:
+            xs, ys = host.pix_x, host.pix_y
         else:
             params = np.asarray(host.scene.params)[:host.n_objects]
             xs, ys = params[:, 0], params[:, 1]
+        n = host.n_objects
+        ras = np.degrees(table.ra) if table is not None else np.zeros(n)
+        decs = np.degrees(table.dec) if table is not None else np.zeros(n)
+        ids = table.id if table is not None and len(
+            getattr(table, "id", ())) == n else np.arange(n)
+        modes = result["modes"]
+        realized = result.get("realized")
         with open(path, "w") as f:
-            f.write("# obj_index x y nominal_flux realized_flux mode\n")
-            modes = result["modes"]
-            for i in range(host.n_objects):
+            f.write("# object_id ra dec x y nominal_flux phot_flux "
+                    "fft_flux realized_flux mode\n")
+            for i in range(n):
                 m = int(modes[i]) if modes is not None else 1
-                f.write(f"{i} {xs[i]:.4f} {ys[i]:.4f} "
-                        f"{host.nominal_flux[i]:.2f} {host.flux[i]:.0f} "
-                        f"{m}\n")
+                phot = host.flux[i] if m != 0 else 0.0
+                fft = host.flux[i] if m == 0 else 0.0
+                real = realized[i] if realized is not None \
+                    else host.flux[i]
+                f.write(f"{ids[i]} {ras[i]:.8f} {decs[i]:.8f} "
+                        f"{xs[i]:.4f} {ys[i]:.4f} "
+                        f"{host.nominal_flux[i]:.2f} {phot:.0f} "
+                        f"{fft:.0f} {real:.2f} {m}\n")
     if logger:
         logger.info("wrote outputs for %s", det_name)
 

@@ -49,7 +49,7 @@ def test_fft_stamp_placed_at_pixel_not_field_angle():
     # the stamp must land at the pixel position, not at floor(0.01)-N/2.
     host = _bright_host(field_xy=(0.01, -0.005))
     cfg = _fft_cfg()
-    img, modes = render_ccd_pooled(3, host, cfg)
+    img, modes, _ = render_ccd_pooled(3, host, cfg)
     assert modes[0] == FFT
     a = np.asarray(img)
     assert a.sum() > 0.9 * host.flux[0]
@@ -63,9 +63,9 @@ def test_fft_stamp_placed_at_pixel_not_field_angle():
 def test_fft_noise_keyed_by_visit_seed():
     host = _bright_host()
     cfg = _fft_cfg()
-    img_a, _ = render_ccd_pooled(3, host, cfg)
-    img_b, _ = render_ccd_pooled(3, host, cfg)
-    img_c, _ = render_ccd_pooled(4, host, cfg)
+    img_a, _, _ = render_ccd_pooled(3, host, cfg)
+    img_b, _, _ = render_ccd_pooled(3, host, cfg)
+    img_c, _, _ = render_ccd_pooled(4, host, cfg)
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
     assert np.any(np.asarray(img_a) != np.asarray(img_c))
 
@@ -75,8 +75,8 @@ def test_fft_pass_applies_spikes_when_wired():
     cfg = _fft_cfg()
     kern = jnp.asarray(spike_kernel(622.0, alpha_deg=45.0, n=129))
     spikes = dict(kernel=kern, sat=20_000.0)
-    img_plain, _ = render_ccd_pooled(3, host, cfg)
-    img_spiked, _ = render_ccd_pooled(3, host, cfg, spikes=spikes)
+    img_plain, _, _ = render_ccd_pooled(3, host, cfg)
+    img_spiked, _, _ = render_ccd_pooled(3, host, cfg, spikes=spikes)
     a = np.asarray(img_spiked)
     p = np.asarray(img_plain)
     # total flux preserved up to spike wings clipped at the stamp edge
@@ -104,6 +104,47 @@ def test_add_stamps_batched_clipping():
     assert out.sum() == 16 * 16 + 8 * 16
     assert out[10:26, 10:26].sum() == 256
     assert out[0:16, 0:8].sum() == 128
+
+
+def test_fft_pass_checkpointed_not_rerun(tmp_path):
+    """Resume must not redo the FFT pass: after the FFT stage is
+    checkpointed, a resumed render reuses it (reference gap: the FFT
+    pass reran from batch 0, VERDICT item 9)."""
+    host = _bright_host(flux=2e6, pix=(128.0, 128.0))
+    cfg = _fft_cfg()
+    ck = Checkpointer(str(tmp_path / "c.h5"))
+    img1, modes, real1 = render_ccd_pooled(3, host, cfg, checkpointer=ck)
+    saved = ck.load("pooled")
+    assert saved["fft_done"] is True
+    # corrupt the FFT inputs; a resume that reran the FFT pass would
+    # now produce a different image
+    host2 = _bright_host(flux=2e6, pix=(10.0, 10.0))
+    img2, _, real2 = render_ccd_pooled(3, host2, cfg, checkpointer=ck)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    # realized flux carried through the checkpoint
+    assert real1[0] > 0.9 * host.flux[0]
+
+
+def test_realized_flux_tracking():
+    """track_realized accumulates per-object incident flux across
+    batches (imsim/photon_pooling.py:472-507 truth semantics)."""
+    rng = np.random.default_rng(5)
+    n = 8
+    wl = np.linspace(550.0, 690.0, WL_CDF_K, dtype=np.float32)
+    flux = rng.uniform(500, 3000, n)
+    scene = DeviceScene.from_columns(
+        x=rng.uniform(60, 196, n), y=rng.uniform(60, 196, n),
+        obj_type=np.zeros(n), p0=np.zeros(n), p1=np.ones(n),
+        p2=np.ones(n), p3=np.zeros(n), g1=np.zeros(n),
+        g2=np.zeros(n), mu=np.ones(n),
+        wl_icdf=np.broadcast_to(wl, (n, WL_CDF_K)))
+    host = SceneHost(scene=scene, flux=np.round(flux),
+                     nominal_flux=flux, n_objects=n)
+    cfg = PoolingConfig(xsize=256, ysize=256, nbatch=3,
+                        batch_size=10_000, faint_thresh=10.0)
+    img, modes, realized = render_ccd_pooled(2, host, cfg,
+                                             track_realized=True)
+    np.testing.assert_allclose(realized[:n], host.flux, rtol=1e-5)
 
 
 def test_checkpoint_recovery_keeps_current_over_truncated_new(tmp_path):
