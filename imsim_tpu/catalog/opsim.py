@@ -86,6 +86,25 @@ class OpsimData:
         m.setdefault("rotTelPos", m.get("rotTelPos", 0.0))
         m.setdefault("seed", int(m.get("observationId", 42)) % 2**31)
 
+        # sun altitude for the twilight sky component (low-precision
+        # solar ephemeris, good to ~0.01 rad — ample for a sky model)
+        if "sunAlt" not in m:
+            d = m["mjd_mid"] - 51544.5     # days since J2000
+            g = np.radians((357.529 + 0.98560028 * d) % 360.0)
+            lam_sun = np.radians((280.459 + 0.98564736 * d) % 360.0
+                                 ) + np.radians(1.915) * np.sin(g) \
+                + np.radians(0.020) * np.sin(2 * g)
+            eps = np.radians(23.4393)
+            sun_dec = np.arcsin(np.sin(eps) * np.sin(lam_sun))
+            sun_ra = np.arctan2(np.cos(eps) * np.sin(lam_sun),
+                                np.cos(lam_sun))
+            ha_sun = (last - sun_ra) % (2 * np.pi)
+            sin_a = (np.sin(sun_dec) * np.sin(RUBIN_LAT)
+                     + np.cos(sun_dec) * np.cos(RUBIN_LAT)
+                     * np.cos(ha_sun))
+            m["sunAlt"] = float(np.degrees(
+                np.arcsin(np.clip(sin_a, -1, 1))))
+
 
 def _header_value(s: str):
     try:

@@ -27,6 +27,18 @@ DARK_SKY_SB = {"u": 22.96, "g": 22.26, "r": 21.20,
 # Atmospheric extinction coefficient per band (mag/airmass)
 EXTINCTION_K = {"u": 0.47, "g": 0.21, "r": 0.13,
                 "i": 0.10, "z": 0.07, "y": 0.17}
+# Zodiacal-light surface brightness at the ecliptic pole, AB mag/arcsec^2,
+# per band (solar spectrum through the Rubin bands; Leinert et al. 1998
+# scale). Brightens toward the ecliptic plane by ~1.3 mag.
+ZODI_POLE_SB = {"u": 24.9, "g": 23.8, "r": 23.1,
+                "i": 22.7, "z": 22.5, "y": 22.4}
+ECL_OBLIQUITY = np.radians(23.4393)
+
+
+def ecliptic_latitude(ra, dec):
+    """Ecliptic latitude [rad] from equatorial (ra, dec) [rad]."""
+    return np.arcsin(np.cos(ECL_OBLIQUITY) * np.sin(dec)
+                     - np.sin(ECL_OBLIQUITY) * np.cos(dec) * np.sin(ra))
 
 
 def _krisciunas_schaefer_delta(moon_phase_deg, moon_alt_rad, sep_rad, k, X):
@@ -58,7 +70,8 @@ class SkyModel:
     def __init__(self, exptime, mjd, bandpass: Bandpass,
                  pupil_area=RUBIN_AREA, airmass=1.0,
                  moon_phase_deg=180.0, moon_alt_rad=-0.5,
-                 moon_ra=0.0, moon_dec=0.0, logger=None):
+                 moon_ra=0.0, moon_dec=0.0, sun_alt_rad=-1.0,
+                 logger=None):
         self.exptime = exptime
         self.mjd = mjd
         self.bandpass = bandpass
@@ -69,9 +82,14 @@ class SkyModel:
         self.moon_alt_rad = moon_alt_rad
         self.moon_ra = moon_ra
         self.moon_dec = moon_dec
+        self.sun_alt_rad = sun_alt_rad
 
     def get_sky_level(self, ra, dec):
-        """photons/arcsec^2 at (ra, dec) radians."""
+        """photons/arcsec^2 at (ra, dec) radians: airglow (van Rhijn +
+        extinction) + moonlight (Krisciunas & Schaefer) + zodiacal floor
+        + twilight brightening — the component set of
+        rubin_sim.skybrightness (imsim/sky_model.py:44-85) in analytic
+        form."""
         m_dark = DARK_SKY_SB.get(self.band, 21.0)
         X = self.airmass
         # van Rhijn airglow scaling with airmass + extinction of the airglow
@@ -81,6 +99,17 @@ class SkyModel:
         sep = angular_separation(ra, dec, self.moon_ra, self.moon_dec)
         flux_ratio += _krisciunas_schaefer_delta(
             self.moon_phase_deg, self.moon_alt_rad, sep, k, X)
+        # zodiacal light: pole value brightening ~1.3 mag toward the
+        # ecliptic plane (Leinert et al. 1998 morphology)
+        m_zodi = (ZODI_POLE_SB.get(self.band, 23.0)
+                  - 1.3 * (1.0 - abs(np.sin(ecliptic_latitude(ra, dec)))))
+        flux_ratio += 10 ** (-0.4 * (m_zodi - m_dark))
+        # twilight: exponential brightening once the sun is above -18 deg
+        # (~ -1.1 mag per degree of sun altitude, r band slope; the
+        # rubin_sim twilight component behaves the same way)
+        sun_alt_deg = np.degrees(self.sun_alt_rad)
+        if sun_alt_deg > -18.0:
+            flux_ratio += 10 ** (0.4 * 1.1 * (sun_alt_deg + 18.0)) - 1.0
         m_sky = m_dark - 2.5 * np.log10(max(flux_ratio, 1e-6))
         # photons/s/cm^2/arcsec^2 via the bandpass AB zeropoint
         rate = 10 ** (-0.4 * (m_sky - self.bandpass.zeropoint))
@@ -128,34 +157,71 @@ class CCD_Fringing:
         self.offset = boresight_offset_deg
 
     def generate_heightfield(self, fractal_dimension=2.5, n=4096):
-        H = 1 - (fractal_dimension - 2)
-        kpow = -(H + 1.0) / 1.2
+        """Epitaxial-thickness surface by Fourier synthesis (rfft2).
+
+        Deep-depletion fringing traces a self-affine thickness surface
+        of the sensor's epitaxial layer.  A Hermitian half-plane of
+        complex Gaussian modes is drawn with isotropic amplitude
+
+            a(k) = k**(-gamma) * exp(-(k/k_c)**2),
+
+        gamma = (4 - fractal_dimension) / 1.2 and cutoff k_c at 1/64 of
+        the sampling band, then inverted with one real FFT.  Same
+        spectral family — and therefore the same fringe morphology — as
+        the reference's heightfield (imsim/sky_model.py:121-180);
+        independent construction (half-plane real-transform synthesis,
+        complex-normal mode draw).  Returns a real (n, n) surface.
+        """
+        gamma = (4.0 - fractal_dimension) / 1.2
         gen = np.random.default_rng(self.seed)
-        kvec = np.fft.fftfreq(n)
-        k0 = kvec[n // 64]
-        kx, ky = np.meshgrid(kvec, kvec, sparse=True)
-        ksq = kx**2 + ky**2
-        A = np.zeros((n, n), complex)
-        m = ksq > 0
-        phase = 2 * np.pi * gen.uniform(size=(n, n))
-        A[m] = (ksq[m] ** kpow * gen.normal(size=(n, n))[m]
-                * np.exp(1j * phase[m]) * np.exp(-ksq[m] / k0**2))
-        return np.fft.ifft2(A)
+        ky = np.fft.fftfreq(n)[:, None]
+        kx = np.fft.rfftfreq(n)[None, :]
+        k = np.hypot(kx, ky)
+        k_c = 1.0 / 64.0
+        amp = np.zeros_like(k)
+        nz = k > 0
+        amp[nz] = k[nz] ** (-gamma) * np.exp(-(k[nz] / k_c) ** 2)
+        modes = (gen.standard_normal(k.shape)
+                 + 1j * gen.standard_normal(k.shape)) * amp
+        return np.fft.irfft2(modes, s=(n, n))
 
     def fringe_variation_level(self):
         """OH skyline spatial variation vs field position: smooth radial
         modulation standing in for the reference's measured
-        skyline_var.fits surface."""
+        skyline_var.fits surface.  A loadable 2-D surface can be
+        supplied via `skyline_surface` in fringing_map."""
         if not self.spatial_vary:
             return 1.0
         return 1.0 + 0.06 * np.cos(self.offset * 1.8) - 0.03 * self.offset**2 / 4.0
 
-    def fringing_map(self, shape=(4096, 4096), amplitude=0.002):
-        level = self.fringe_variation_level()
+    def fringing_map(self, shape=(4096, 4096), amplitude=0.002,
+                     skyline_surface=None):
+        """Normalized (mean ~1) fringing surface.
+
+        skyline_surface: optional measured OH-skyline spatial-variation
+        map (2-D array resampled to `shape`), the analog of the
+        reference's skyline_var.fits interpolation
+        (imsim/sky_model.py:221-233); the analytic
+        fringe_variation_level is used when absent.
+        """
         n = 4096
         X = self.generate_heightfield(2.5, n)
-        X *= 10.0 / np.std(X.real)
-        Z = amplitude * level * np.cos(2 * 1.5 * X.real) + 1.0
-        if Z.shape != shape:
-            Z = Z[:shape[0], :shape[1]]
+        X *= 10.0 / np.std(X)
+        if skyline_surface is not None:
+            sv = np.asarray(skyline_surface, float)
+            yi = np.linspace(0, sv.shape[0] - 1, shape[0])
+            xi = np.linspace(0, sv.shape[1] - 1, shape[1])
+            # bilinear resample onto the image grid
+            y0 = np.clip(yi.astype(int), 0, sv.shape[0] - 2)[:, None]
+            x0 = np.clip(xi.astype(int), 0, sv.shape[1] - 2)[None, :]
+            wy = (yi[:, None] - y0)
+            wx = (xi[None, :] - x0)
+            level = (sv[y0, x0] * (1 - wy) * (1 - wx)
+                     + sv[y0, x0 + 1] * (1 - wy) * wx
+                     + sv[y0 + 1, x0] * wy * (1 - wx)
+                     + sv[y0 + 1, x0 + 1] * wy * wx)
+        else:
+            level = self.fringe_variation_level()
+        Z = amplitude * level * np.cos(2 * 1.5 * X[:shape[0], :shape[1]]) \
+            + 1.0
         return Z.astype(np.float32)
