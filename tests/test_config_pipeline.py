@@ -101,8 +101,9 @@ def test_visit_end_to_end(tmp_path, instcat, sed_dir):
     # (tests/test_image.py:18-29 analog); background from the image edge
     sky = np.mean(eimage[:100, :100])
     assert sky > 10.0                   # sky got added
+    # columns: object_id ra dec x y nominal phot fft realized mode
     truth_xy = np.loadtxt(os.path.join(out, "centroid_R22_S11.txt"),
-                          usecols=(1, 2))
+                          usecols=(3, 4))
     R = 25
     ny, nx = eimage.shape
     n_ok = 0
@@ -134,8 +135,12 @@ def test_visit_end_to_end(tmp_path, instcat, sed_dir):
     assert np.median(seg) > 500         # bias level present
 
     truth = np.loadtxt(os.path.join(out, "centroid_R22_S11.txt"),
-                       usecols=(1, 2, 3, 4))
+                       usecols=(1, 2, 3, 4, 5, 6, 7, 8))
     assert truth.shape[0] == host.n_objects
+    # nominal >= phot+fft split is consistent: phot+fft == drawn flux
+    assert np.all(truth[:, 4] > 0)                    # nominal flux
+    assert np.all((truth[:, 5] > 0) ^ (truth[:, 6] > 0) |
+                  ((truth[:, 5] == 0) & (truth[:, 6] == 0)))
 
 
 def test_visit_checkpoint_resume(tmp_path, instcat, sed_dir):
