@@ -102,14 +102,16 @@ def main():
     nx, ny = ccd.bounds.width, ccd.bounds.height
     NB = 6
     N = 16_777_216
+    PAIR = 4           # block antithetic pairing (photon_pooling docs)
     counts = host.flux.astype(np.int64)
     total = int(counts.sum())
     cum = np.zeros(host.scene.n, np.int32)
     cum[:host.n_objects] = np.cumsum(counts)
     cum[host.n_objects:] = cum[host.n_objects - 1]
     cum_dev = jnp.asarray(cum)
-    obj_map = jax.jit(build_obj_map, static_argnames=("nb", "batch_size"))(
-        cum_dev, jnp.int32(total), NB, N)
+    obj_map = jax.jit(build_obj_map,
+                      static_argnames=("nb", "batch_size", "pair"))(
+        cum_dev, jnp.int32(total), NB, N, PAIR)
 
     # HONEST TIMING on the axon tunnel: block_until_ready does NOT wait
     # on this backend and a value pull carries seconds of RPC overhead,
@@ -126,13 +128,15 @@ def main():
 
         def batch(b, img):
             obj_idx, w = batch_from_obj_map(omap, jnp.int32(total),
-                                            b % NB, NB, N)
-            # gather-free per-photon params (scatter + cumsum)
-            row = materialize_rows(scene.params, cum, b % NB, NB, N)
+                                            b % NB, NB, N, PAIR)
+            # gather-free per-photon params + wavelength-ICDF Chebyshev
+            # rows (scatter + cumsum, block-paired layout)
+            mat = jnp.concatenate([scene.params, scene.wl_cheb], axis=1)
+            row = materialize_rows(mat, cum, b % NB, NB, N, PAIR)
             kb = jax.random.fold_in(key, b)
             ph = shoot_full(kb, scene, obj_idx, w, tel, ctx,
                             screens=scr, sk_table=sk, exptime=30.0,
-                            row=row)
+                            row=row, pupil_pairing=PAIR)
             return accumulate_silicon(jax.random.fold_in(kb, 7), ph,
                                       img, sil, nsub=4)
 

@@ -56,6 +56,14 @@ class PoolingConfig:
     fwhm: float = 0.8
     gauss_fwhm: float = 0.3
     nbatch_per_checkpoint: int = 1
+    # pupil/time/screen-sample sharing factor (block-paired layout,
+    # build_obj_map): the `pair` members of a pair share one pupil
+    # point, arrival time and phase-screen gather; each keeps its own
+    # wavelength, profile offset, DCR, diffraction draw and sensor
+    # randomness.  Screen gathers are the hot path's dominant cost
+    # (~8.6 ns/photon/layer), so 4 cuts them 4x; per-pixel statistics
+    # stay Poisson-consistent (validated in tests)
+    pupil_pairing: int = 4
     # optional override of the fast-path isotropic PSF radial table
     # (DoubleGaussianPSF / KolmogorovPSF fallback families,
     # imsim/atmPSF.py:448-538)
@@ -126,7 +134,7 @@ def batch_obj_assignment(cum_counts, total, b, nb, batch_size):
     return obj, alive.astype(jnp.float32)
 
 
-def build_obj_map(cum_counts, total, nb, batch_size):
+def build_obj_map(cum_counts, total, nb, batch_size, pair: int = 1):
     """(batch_size, nb) int32 photon->object map for a whole visit,
     built ONCE on device, so each batch's assignment is a contiguous
     column slice instead of a 17-step binary search (TPU random gathers
@@ -136,6 +144,17 @@ def build_obj_map(cum_counts, total, nb, batch_size):
     Construction is scatter + cummax: object i's first photon index
     (cum[i-1]) receives value i; a max-scan fills the gaps.  Both are
     single streaming HBM passes.
+
+    pair > 1 selects the BLOCK-PAIRED slot layout: slot s = h*m + k
+    (m = batch_size // pair) holds the batch's photon ordinal
+    j = pair*k + h, so the `pair` slots {k, k+m, ..., k+(pair-1)m} hold
+    ADJACENT global photons (almost always the same object).  Pairs can
+    then share one pupil/time/screen-gather draw with FREE layout ops:
+    member 0 of every pair is the contiguous slice [:m] and the
+    broadcast back is reshape((pair, m) -> n) — measured 6x faster than
+    the interleaved jnp.repeat pairing, whose lane-crossing shuffle
+    re-runs inside every consumer fusion (~200 ms per repeated array
+    per 16.7M-photon batch on v5e).
     """
     n_total = batch_size * nb
     starts = jnp.concatenate([jnp.zeros((1,), cum_counts.dtype),
@@ -148,46 +167,84 @@ def build_obj_map(cum_counts, total, nb, batch_size):
     # dead tail (>= total) points at the last (padded) object
     g = jnp.arange(n_total, dtype=jnp.int32)
     obj_flat = jnp.where(g < total, obj_flat, n_obj - 1)
-    # global index g = b + nb*s  ->  obj_map[s, b]
-    return obj_flat.reshape(batch_size, nb)
+    if pair == 1:
+        # global index g = b + nb*s  ->  obj_map[s, b]
+        return obj_flat.reshape(batch_size, nb)
+    # g = b + nb*(pair*k + h) -> obj_flat.reshape(m, pair, nb)[k, h, b];
+    # block layout wants [h*m + k, b]: one transpose, once per visit
+    m = batch_size // pair
+    return obj_flat.reshape(m, pair, nb).transpose(1, 0, 2).reshape(
+        batch_size, nb)
 
 
-def batch_from_obj_map(obj_map, total, b, nb, batch_size):
+def batch_from_obj_map(obj_map, total, b, nb, batch_size, pair: int = 1):
     """Batch b's (obj_idx, weight) from the precomputed visit map:
     one strided column read + an iota compare (no random gathers)."""
     obj = jax.lax.dynamic_slice_in_dim(obj_map, b, 1, axis=1)[:, 0]
-    s = jnp.arange(batch_size, dtype=jnp.int32)
-    alive = (b + nb * s) < total
+    if pair == 1:
+        s = jnp.arange(batch_size, dtype=jnp.int32)
+        alive = (b + nb * s) < total
+    else:
+        # slot s = h*m + k holds ordinal j = pair*k + h
+        m = batch_size // pair
+        k = jnp.arange(m, dtype=jnp.int32)
+        j = (pair * k)[None, :] + jnp.arange(pair,
+                                             dtype=jnp.int32)[:, None]
+        alive = (b + nb * j.reshape(batch_size)) < total
     return obj, alive.astype(jnp.float32)
 
 
-def materialize_rows(params, cum_counts, b, nb, batch_size):
-    """(batch_size, N_COLS) per-photon object parameters WITHOUT the
+def materialize_rows(params, cum_counts, b, nb, batch_size,
+                     pair: int = 1):
+    """(batch_size, C) per-photon object parameters WITHOUT the
     per-photon row-gather (the gather costs ~8.6 ns/photon on this TPU
     = ~280 ms per 16.7M-photon batch; this is two streaming passes).
 
-    The photon->object map within a batch is non-decreasing in slot, so
-    the per-photon parameter sequence is piecewise constant: scatter
-    each object's DELTA row (params[i] - params[i-1]) at its first slot
-    of batch b, then cumsum down the slot axis.  Objects entirely
-    before the batch start telescope into slot 0; empty objects'
-    deltas stack at the same slot — both exactly reproduce the gather.
+    The photon->object map within a batch is non-decreasing in photon
+    ordinal, so the per-photon parameter sequence is piecewise constant:
+    scatter each object's DELTA row (params[i] - params[i-1]) at its
+    first slot of batch b, then cumsum down the slot axis.  Objects
+    entirely before the batch start telescope into slot 0; empty
+    objects' deltas stack at the same slot — both exactly reproduce the
+    gather.
+
+    With pair > 1 (block-paired layout, see build_obj_map) each of the
+    `pair` halves is an independent non-decreasing run: half h holds
+    ordinals j = pair*k + h, so object i's first slot in half h is
+    k_h = ceil((j0_i - h) / pair).  One scatter covers all halves
+    (slots h*m + k_h, clamped to the half), then a cumsum along the
+    within-half axis of the (pair, m, C) view.
 
     f32 cumsum note: reconstruction error is bounded by the running
     cumsum rounding, ~1e-6 relative for ~0.01-rad field angles
     (< 0.05 pixel), well under the PSF scale; validated in
     tests/test_components.py.
     """
+    C = params.shape[1]
     starts = jnp.concatenate([jnp.zeros((1,), cum_counts.dtype),
                               cum_counts[:-1]])
-    # first slot of object i within batch b: ceil((starts_i - b) / nb),
-    # clipped at 0 (earlier objects telescope into slot 0)
-    s = jnp.maximum(-((b - starts) // nb), 0).astype(jnp.int32)
+    # first photon ordinal of object i within batch b:
+    # ceil((starts_i - b) / nb), clipped at 0
+    j0 = jnp.maximum(-((b - starts) // nb), 0).astype(jnp.int32)
     deltas = params - jnp.concatenate(
-        [jnp.zeros((1, params.shape[1]), params.dtype), params[:-1]])
-    rows = jnp.zeros((batch_size, params.shape[1]), params.dtype)
-    rows = rows.at[s].add(deltas, mode="drop")
-    return jnp.cumsum(rows, axis=0)
+        [jnp.zeros((1, C), params.dtype), params[:-1]])
+    if pair == 1:
+        rows = jnp.zeros((batch_size, C), params.dtype)
+        rows = rows.at[j0].add(deltas, mode="drop")
+        return jnp.cumsum(rows, axis=0)
+    m = batch_size // pair
+    slot_h = []
+    for h in range(pair):
+        k_h = jnp.maximum(-((h - j0) // pair), 0)  # ceil((j0-h)/pair)
+        # objects past this half's end must DROP, not spill into the
+        # next half: send them to an out-of-bounds slot
+        slot_h.append(jnp.where(k_h < m, h * m + k_h, batch_size))
+    slots = jnp.concatenate(slot_h)
+    rows = jnp.zeros((batch_size, C), params.dtype)
+    rows = rows.at[slots].add(
+        jnp.concatenate([deltas] * pair, axis=0), mode="drop")
+    return jnp.cumsum(rows.reshape(pair, m, C), axis=1).reshape(
+        batch_size, C)
 
 
 def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
@@ -254,12 +311,15 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
     if total == 0:
         return image, modes, realized
     nb = pick_nbatch(total, cfg)
+    pair = cfg.pupil_pairing
+    # batch_size must cover total and split into `pair` equal halves
     batch_size = int(np.ceil(total / nb))
+    batch_size = -(-batch_size // max(pair, 1)) * max(pair, 1)
     cum = np.zeros(host.scene.n, np.int32)
     cum[:host.n_objects] = np.cumsum(counts)
     cum[host.n_objects:] = cum[host.n_objects - 1] if host.n_objects else 0
     obj_map = _build_obj_map_jit(jnp.asarray(cum), jnp.int32(total), nb,
-                                 batch_size)
+                                 batch_size, pair)
 
     psf_tables = {"kolmogorov": dataclasses.replace(
         kolm_as, y=jnp.asarray(kolm_as.y)), "gauss_sigma": gauss_sigma}
@@ -271,7 +331,8 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
             jnp.int32(total), jnp.int32(b), nb, batch_size, tel, ctx,
             screens, sk_table, psf_tables["kolmogorov"],
             jnp.float32(gauss_sigma), silicon, image,
-            cfg.exptime, cfg.pixel_scale, cfg.nsub, track_realized)
+            cfg.exptime, cfg.pixel_scale, cfg.nsub, track_realized,
+            pair)
         if batch_realized is not None:
             realized += np.asarray(batch_realized, np.float64)
         if checkpointer is not None and \
@@ -284,26 +345,34 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
 
 
 _build_obj_map_jit = jax.jit(build_obj_map,
-                             static_argnames=("nb", "batch_size"))
+                             static_argnames=("nb", "batch_size",
+                                              "pair"))
 
 
 @partial(jax.jit, static_argnames=("nb", "batch_size", "exptime",
                                    "pixel_scale", "nsub",
-                                   "track_realized"))
+                                   "track_realized", "pair"))
 def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
                        batch_size, tel, ctx, screens, sk_table,
                        kolm_table, gauss_sigma, silicon, image,
                        exptime, pixel_scale, nsub,
-                       track_realized: bool = False):
+                       track_realized: bool = False, pair: int = 1):
     obj_idx, weight = batch_from_obj_map(obj_map, total, b, nb,
-                                         batch_size)
-    # per-photon params via scatter+cumsum instead of a row-gather
+                                         batch_size, pair)
+    # per-photon params via scatter+cumsum instead of a row-gather;
+    # the per-object wavelength-ICDF Chebyshev coefficients ride in the
+    # same materialization (extra columns are ~free: the scatter+cumsum
+    # cost is per streaming pass, and Horner eval replaces the ~13 ns
+    # random wavelength gather per photon)
+    mat = scene.params if scene.wl_cheb is None else jnp.concatenate(
+        [scene.params, scene.wl_cheb], axis=1)
     row = None if cum is None else materialize_rows(
-        scene.params, cum, b, nb, batch_size)
+        mat, cum, b, nb, batch_size, pair)
     if tel is not None and ctx is not None:
         photons = render.shoot_full(
             key, scene, obj_idx, weight, tel, ctx, screens=screens,
-            sk_table=sk_table, exptime=exptime, row=row)
+            sk_table=sk_table, exptime=exptime, row=row,
+            pupil_pairing=pair)
     else:
         photons = render.shoot(
             key, scene, obj_idx, weight,

@@ -216,7 +216,7 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
                exptime: float = 30.0, pupil_radius: float = 4.18,
                pupil_obscuration: float = 0.612,
                row: jax.Array = None,
-               pupil_pairing: int = 2) -> PhotonBatch:
+               pupil_pairing: int = 4) -> PhotonBatch:
     """Full physics chain for a pooled batch: the per-photon equivalent of
     the reference's photon_ops pipeline (imsim/stamp.py:527-573 with
     config/imsim-config.yaml:281-320):
@@ -228,11 +228,28 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
         + DCR + spider diffraction + raytrace + silicon refraction
                                                         [photons.optics_ops]
 
+    Pupil/time sampling uses BLOCK ANTITHETIC PAIRING: the `pair` slots
+    {s, s+m, ..} (m = n/pair) share one (pupil point, arrival time)
+    draw and one phase-screen gather — by construction of the pooled
+    block layout (photon_pooling.build_obj_map) those slots hold
+    ADJACENT global photons, i.e. almost always the same object, so the
+    pair's field angles agree to the profile-offset scale (< 0.1 m at
+    the highest screen layer).  Each photon keeps its own wavelength,
+    profile offset, DCR, diffraction draw and sensor randomness, so
+    per-pixel statistics stay Poisson-consistent.  The block layout
+    makes every pairing op FREE on TPU: member 0 is the contiguous
+    slice [:m] and the broadcast back is reshape((pair, m) -> n) —
+    the previous interleaved jnp.repeat cost ~200 ms per paired array
+    per 16.7M-photon batch in consumer-fusion lane shuffles.
+
     Returns a PhotonBatch in *detector pixel* coordinates with in-silicon
     slopes, ready for the (silicon) sensor accumulate.
     """
     from ..photons.optics_ops import field_to_sensor
     from ..psf.atmosphere import first_kick_angles
+    from ..sensor.silicon import absorption_length_poly
+    from ..utils.lookup import clenshaw_rows
+    from .scene import N_COLS
 
     arcsec = jnp.float32(np.pi / 180 / 3600)
     n = obj_idx.shape[0]
@@ -242,6 +259,8 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
         # per-photon row-gather; callers on the pooled path pass the
         # gather-free materialize_rows result instead
         row = scene.params[obj_idx]
+        if scene.wl_cheb is not None:
+            row = jnp.concatenate([row, scene.wl_cheb[obj_idx]], axis=1)
     thx = row[:, COL_X]
     thy = row[:, COL_Y]
 
@@ -251,29 +270,28 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
     thx = thx + dx_as * arcsec
     thy = thy + dy_as * arcsec
 
-    # wavelength + silicon absorption length: ONE fused row-gather
+    # wavelength + silicon absorption length, gather-free when the
+    # scene carries Chebyshev inverse-CDF rows (materialized into the
+    # row matrix next to params); else ONE fused row-gather
     u = jax.random.uniform(keys[1], (n,))
-    if scene.labs_icdf is not None:
+    if scene.wl_cheb is not None and row.shape[1] > N_COLS:
+        # arcsin-stretched Chebyshev variable (see scene.fit_wl_cheb)
+        x_u = jnp.arcsin(2.0 * u - 1.0) * jnp.float32(2.0 / np.pi)
+        wl = clenshaw_rows(row[:, N_COLS:], x_u)
+        labs = absorption_length_poly(wl)
+    elif scene.labs_icdf is not None:
         wl, labs = _interp_rows2(scene.wl_icdf, scene.labs_icdf,
                                  obj_idx, u)
     else:
         wl = _interp_rows(scene.wl_icdf, obj_idx, u)
         labs = None
-    # Pupil/time sampling with ANTITHETIC PAIRING: consecutive photons
-    # share one (pupil point, arrival time) draw.  The screen gathers —
-    # the single most expensive stage on TPU (~8.6 ns/photon/layer) —
-    # then run on n/pair rows and broadcast to the pair.  Adjacent
-    # slots almost always belong to the same object (object-major
-    # pooling), so the pair's field angles match to the profile-offset
-    # scale (< 0.1 m at the highest layer — under a quarter texel);
-    # each photon keeps its own wavelength, profile offset, DCR,
-    # diffraction draw and sensor randomness, so per-pixel statistics
-    # stay Poisson-consistent while pupil-sample diversity halves.
+
     pair = pupil_pairing if n % pupil_pairing == 0 else 1
     m = n // pair
 
-    def rep(x):
-        return jnp.repeat(x, pair, total_repeat_length=n) if pair > 1 \
+    def blk(x):
+        # (m,) -> (n,) block broadcast: virtual until fused, no shuffle
+        return jnp.broadcast_to(x, (pair, m)).reshape(n) if pair > 1 \
             else x
 
     u1, u2 = jax.random.uniform(keys[2], (2, m))
@@ -287,13 +305,13 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
     # atmosphere: first kick (screens) + isotropic second kick
     if screens is not None:
         ddx, ddy = first_kick_angles(pu_h, pv_h, t_h, screens,
-                                     theta_x=thx[::pair],
-                                     theta_y=thy[::pair])
-        thx = thx + rep(ddx)
-        thy = thy + rep(ddy)
-    pu = rep(pu_h)
-    pv = rep(pv_h)
-    t = rep(t_h)
+                                     theta_x=thx[:m],
+                                     theta_y=thy[:m])
+        thx = thx + blk(ddx)
+        thy = thy + blk(ddy)
+    pu = blk(pu_h)
+    pv = blk(pv_h)
+    t = blk(t_h)
     if sk_table is not None:
         skx, sky = P.sample_radial(keys[4], n, sk_table)  # arcsec
         thx = thx + skx * arcsec

@@ -19,7 +19,33 @@ from ..catalog.bandpass import Bandpass
 from ..catalog.sed import SED, build_object_sed
 
 WL_CDF_K = 96   # inverse-CDF table size for photon wavelength sampling
+WL_CHEB_D = 14  # Chebyshev degree+1 of the gather-free wl(u) sampler
 CLOUD_K = 1024  # point-cloud size for FITS-postage-stamp objects
+
+_WL_CHEB_PINV = {}
+
+
+def fit_wl_cheb(wl_icdf: np.ndarray, d: int = WL_CHEB_D) -> np.ndarray:
+    """Least-squares Chebyshev coefficients of each row's inverse CDF
+    wl(u) over u in [0, 1]: (n, K) -> (n, d) float32.
+
+    The expansion variable is x = (2/pi) asin(2u - 1): the arcsin
+    stretch clusters resolution at the CDF endpoints where the inverse
+    CDF has sqrt-edge behavior (band cutoffs) — measured max fit error
+    0.02 nm at d=14 vs 2.6 nm for plain x = 2u-1 on realistic
+    SED x bandpass shapes (tests/test_sed.py).
+
+    One (n, K) @ (K, d) matmul fits the whole catalog; the pooled hot
+    path evaluates the fit per photon with Clenshaw on materialized
+    coefficient rows instead of gathering the (n, K) table."""
+    K = wl_icdf.shape[1]
+    key = (K, d)
+    if key not in _WL_CHEB_PINV:
+        u = np.linspace(0.0, 1.0, K)
+        x = np.arcsin(np.clip(2.0 * u - 1.0, -1.0, 1.0)) * (2.0 / np.pi)
+        T = np.polynomial.chebyshev.chebvander(x, d - 1)   # (K, d)
+        _WL_CHEB_PINV[key] = np.linalg.pinv(T).T           # (K, d)
+    return (wl_icdf @ _WL_CHEB_PINV[key]).astype(np.float32)
 
 
 # Column layout of the packed per-object parameter matrix.  Packing all
@@ -51,10 +77,17 @@ class DeviceScene:
     # to the wavelength table so the photon's conversion-depth scale is
     # fetched by the SAME row-gather (gathers cost per row, width free)
     labs_icdf: jax.Array = None
+    # Chebyshev fit of the inverse CDF wl(u), x = 2u-1: (n, WL_CHEB_D).
+    # The pooled path materializes these next to params (scatter+cumsum,
+    # photon_pooling.materialize_rows) so per-photon wavelength sampling
+    # is a Horner evaluation instead of a ~13 ns random gather — the
+    # gather was ~210 ms of a 16.7M-photon batch on v5e.  None disables
+    # (fallback: exact piecewise-linear table gather).
+    wl_cheb: jax.Array = None
 
     def tree_flatten(self):
         return (self.params, self.wl_icdf, self.aux_cloud,
-                self.labs_icdf), None
+                self.labs_icdf, self.wl_cheb), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -93,7 +126,9 @@ class DeviceScene:
                          np.asarray(abs_t.y, float)).astype(np.float32)
         return cls(params=params, wl_icdf=jnp.asarray(wl_icdf),
                    aux_cloud=jnp.asarray(aux_cloud, jnp.float32),
-                   labs_icdf=jnp.asarray(labs))
+                   labs_icdf=jnp.asarray(labs),
+                   wl_cheb=jnp.asarray(fit_wl_cheb(
+                       np.asarray(wl_icdf, np.float64))))
 
 
 @dataclasses.dataclass

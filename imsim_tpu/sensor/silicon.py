@@ -57,6 +57,37 @@ def absorption_length_table():
     return UniformTable(250.0, grid[1] - grid[0], vals.astype(np.float32))
 
 
+_ABS_CHEB = None
+
+
+def absorption_length_poly(wavelength_nm):
+    """Gather-free absorption length: 10**Cheb(log10 l_abs) fit over
+    [300, 1100] nm — silicon absorption is object-independent and
+    smooth in log space, so ~30 fma replace the per-photon table
+    gather (~9 ns/photon on v5e).  Agreement with the table is ~2%
+    (at the piecewise-linear kinks), inside the data's own uncertainty;
+    bounded in tests/test_silicon.py."""
+    global _ABS_CHEB
+    if _ABS_CHEB is None:
+        # fit the smooth region only: below ~430 nm l_abs < 0.3 um,
+        # i.e. conversion is at the surface regardless (z/thickness
+        # < 0.3%), so the clamp-at-edge behavior there is harmless
+        w = np.linspace(430.0, 1100.0, 512)
+        y = np.interp(w, _ABS_WAVE, np.log10(_ABS_LEN_UM))
+        x = 2.0 * (w - 430.0) / 670.0 - 1.0
+        # keep the cache as NUMPY: a jnp array created under an active
+        # trace would leak a tracer into later jit scopes
+        _ABS_CHEB = np.polynomial.chebyshev.chebfit(
+            x, y, 28).astype(np.float32)
+    c = _ABS_CHEB
+    x = jnp.clip(2.0 * (wavelength_nm - 430.0) / 670.0 - 1.0, -1.0, 1.0)
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for k in range(c.shape[0] - 1, 0, -1):
+        b1, b2 = c[k] + 2.0 * x * b1 - b2, b1
+    return 10.0 ** (c[0] + x * b1 - b2)
+
+
 def default_bf_kernel(radius=4, strength=0.4):
     """Short-range BF interaction kernel K (unitless), radius in pixels.
 

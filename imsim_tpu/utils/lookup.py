@@ -75,6 +75,18 @@ class UniformTable:
         )
 
 
+def clenshaw_rows(c: jax.Array, x: jax.Array) -> jax.Array:
+    """Chebyshev evaluation with PER-ROW coefficients: c (N, D) rows,
+    x (N,) in [-1, 1] -> (N,).  Pure VPU fma chain — the gather-free
+    per-photon evaluator for materialized per-object polynomial rows
+    (see image.scene.fit_wl_cheb / photon_pooling.materialize_rows)."""
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for k in range(c.shape[1] - 1, 0, -1):
+        b1, b2 = c[:, k] + 2.0 * x * b1 - b2, b1
+    return c[:, 0] + x * b1 - b2
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class PolyCDF:

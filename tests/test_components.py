@@ -180,16 +180,33 @@ def test_materialize_rows_matches_gather():
     total = int(cum[-1])
     params = (rng.normal(size=(257, 10)) * 0.01).astype(np.float32)
     nb = 4
-    bs = int(np.ceil(total / nb))
-    omap = build_obj_map(jnp.asarray(cum), jnp.int32(total), nb, bs)
-    for b in range(nb):
-        obj, w = batch_from_obj_map(omap, jnp.int32(total), b, nb, bs)
-        got = np.asarray(materialize_rows(jnp.asarray(params),
-                                          jnp.asarray(cum),
-                                          jnp.int32(b), nb, bs))
-        ref = params[np.asarray(obj)]
-        alive = np.asarray(w) > 0
-        assert np.abs(got - ref)[alive].max() < 2e-6
+    for pair in (1, 2, 4):
+        bs = int(np.ceil(total / nb))
+        bs = -(-bs // pair) * pair
+        m = bs // pair
+        omap = build_obj_map(jnp.asarray(cum), jnp.int32(total), nb, bs,
+                             pair)
+        # ground truth: object of global photon g (object-major list)
+        counts_ = np.diff(np.concatenate([[0], cum]))
+        obj_of_g = np.repeat(np.arange(len(counts_)), counts_)
+        for b in range(nb):
+            obj, w = batch_from_obj_map(omap, jnp.int32(total), b, nb,
+                                        bs, pair)
+            got = np.asarray(materialize_rows(jnp.asarray(params),
+                                              jnp.asarray(cum),
+                                              jnp.int32(b), nb, bs,
+                                              pair))
+            alive = np.asarray(w) > 0
+            # slot s holds ordinal j = pair*(s mod m) + s//m
+            s = np.arange(bs)
+            j = pair * (s % m) + s // m
+            g = b + nb * j
+            assert (alive == (g < total)).all()
+            ref_obj = np.where(g < total, obj_of_g[np.minimum(g, total - 1)],
+                               0)
+            assert (np.asarray(obj)[alive] == ref_obj[alive]).all()
+            ref = params[np.asarray(obj)]
+            assert np.abs(got - ref)[alive].max() < 2e-6
 
 
 def test_pooling_render_flux_and_resume(tmp_path):

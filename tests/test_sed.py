@@ -100,3 +100,31 @@ def test_build_scene_consumes_int_av(flat_sed_dir):
     bp = rubin_bandpass("r")
     host = build_scene(table, bp, [flat_sed_dir])
     assert host.nominal_flux[1] < 0.5 * host.nominal_flux[0]
+
+
+def test_wl_cheb_fit_accuracy(flat_sed_dir):
+    """The per-object Chebyshev inverse-CDF rows (the pooled path's
+    gather-free wavelength sampler) must reproduce the piecewise-linear
+    ICDF table to ~1 nm for realistic SED x bandpass shapes."""
+    from imsim_tpu.catalog.bandpass import rubin_bandpass
+    from imsim_tpu.image.scene import WL_CDF_K, _wavelength_icdf, fit_wl_cheb
+    from imsim_tpu.catalog.sed import SED
+
+    bp = rubin_bandpass("r")
+    w = np.linspace(300, 1150, 600)
+    rng = np.random.default_rng(0)
+    rows = []
+    # flat, blue power-law, red power-law, redshifted bumpy galaxy
+    for fl in [np.ones_like(w), (w / 500.0) ** -2.0, (w / 500.0) ** 1.5,
+               1.0 + 0.5 * np.sin(w / 40.0) * rng.uniform(0.5, 1.0)]:
+        sed = SED(w.copy(), np.clip(fl, 1e-3, None))
+        rows.append(_wavelength_icdf(sed, bp))
+    table = np.stack(rows)                       # (4, K)
+    coefs = fit_wl_cheb(table.astype(np.float64))
+    u = np.linspace(0, 1, WL_CDF_K)
+    x = np.arcsin(np.clip(2 * u - 1, -1, 1)) * (2 / np.pi)
+    T = np.polynomial.chebyshev.chebvander(x, coefs.shape[1] - 1)
+    recon = coefs @ T.T                          # (4, K)
+    err = np.abs(recon - table)
+    assert err.max() < 0.2, err.max()            # nm
+    assert err.mean() < 0.02

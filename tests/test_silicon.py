@@ -106,3 +106,26 @@ def test_accumulate_silicon_conserves_live_flux():
                                 jnp.zeros((32, 32), jnp.float32), params)
     # 620nm: l_abs ~ 3um << 100um, everything converts; all flux lands
     assert float(img.sum()) == pytest.approx(50_000, rel=0.01)
+
+
+def test_absorption_poly_matches_table():
+    """The gather-free Chebyshev absorption length must track the
+    published-data table to a few percent across the CCD band (the
+    table itself is an 18-point log-linear fit of Green 2008)."""
+    import jax.numpy as jnp
+    from imsim_tpu.sensor.silicon import (absorption_length_poly,
+                                          absorption_length_table)
+
+    t = absorption_length_table()
+    wl = np.linspace(450.0, 1080.0, 400)
+    ref = np.interp(wl, t.x0 + np.arange(len(t.y)) * t.dx,
+                    np.asarray(t.y, float))
+    got = np.asarray(absorption_length_poly(jnp.asarray(wl, jnp.float32)))
+    rel = np.abs(got - ref) / ref
+    assert rel.max() < 0.05, rel.max()
+    assert np.median(rel) < 0.02
+    # below the fit window the clamp must stay a surface-conversion
+    # scale: < 0.5 um (z/thickness < 0.5% -- physically equivalent)
+    uv = np.asarray(absorption_length_poly(
+        jnp.asarray(np.linspace(300.0, 430.0, 50), jnp.float32)))
+    assert uv.max() < 0.5
