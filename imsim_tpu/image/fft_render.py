@@ -138,19 +138,65 @@ def peak_surface_brightness(flux, mtf: UniformTable, pixel_scale=0.2):
     return flux * central * pixel_scale**2
 
 
+def galaxy_peak_factor(psf_mtf: UniformTable, n_sersic: float,
+                       hlr_as: float) -> float:
+    """Peak-SB suppression of a circular Sersic(n, hlr) convolved with
+    the PSF, relative to the PSF alone: the ratio of central integrals
+    int T_psf T_gal k dk / int T_psf k dk.  Used by the classifier so
+    extended objects trigger the FFT branch at their TRUE peak SB
+    (imsim/stamp.py:356-386 evaluates the realized stamp peak)."""
+    k = psf_mtf.x0 + np.arange(len(psf_mtf.y)) * psf_mtf.dx
+    Tp = np.asarray(psf_mtf.y, float)
+    gt = sersic_mtf_table(round(float(n_sersic), 1))
+    Tg = np.interp(k * max(hlr_as, 1e-4),
+                   gt.x0 + np.arange(len(gt.y)) * gt.dx,
+                   np.asarray(gt.y, float), right=0.0)
+    denom = np.trapezoid(Tp * k, k)
+    return float(np.trapezoid(Tp * Tg * k, k) / max(denom, 1e-30))
+
+
 # ---------------------------------------------------------------------------
 # Device: batched stamp synthesis
 # ---------------------------------------------------------------------------
 
 
+def lens_matrix(q, beta, g1, g2, mu, hlr=1.0):
+    """Real-space 2x2 transform of a unit-hlr circular profile draw:
+    A = hlr * Shear(g1, g2, mu) @ Ellipse(q, beta) — EXACTLY the photon
+    path's composition (profiles.apply_ellipse then apply_shear_mag),
+    so the FFT branch renders the same galaxy the photon branch shoots.
+    In k-space the profile's MTF factor is T0(|A^T k|).  Vectorized
+    over trailing array args; returns (..., 2, 2)."""
+    q, beta, g1, g2, mu, hlr = np.broadcast_arrays(
+        *[np.asarray(a, float) for a in (q, beta, g1, g2, mu, hlr)])
+    sq = np.sqrt(q)
+    c, s = np.cos(beta), np.sin(beta)
+    E = np.stack([np.stack([c / sq, -s * sq], -1),
+                  np.stack([s / sq, c * sq], -1)], -2)
+    gsq = g1 * g1 + g2 * g2
+    norm = np.sqrt(np.abs(mu)) / np.sqrt(np.maximum(1.0 - gsq, 1e-12))
+    S = np.stack([np.stack([norm * (1 + g1), norm * g2], -1),
+                  np.stack([norm * g2, norm * (1 - g1)], -1)], -2)
+    return hlr[..., None, None] * (S @ E)
+
+
 @partial(jax.jit, static_argnames=("N",))
 def render_fft_stamps(mtf_y, mtf_dx, flux, q, beta, sub_dx, sub_dy,
-                      N: int, pixel_scale: float = 0.2):
+                      N: int, pixel_scale: float = 0.2,
+                      gal_y=None, gal_dx=None, gal_A=None):
     """Batch of B stamps (B, N, N) from radial MTF tables.
 
     mtf_y: (B, K) radial T(k) per object (k uniform, step mtf_dx, rad/asec)
-    q, beta: ellipticity applied in k-space (area-preserving)
+    q, beta: ellipticity applied in k-space to the WHOLE MTF
+             (area-preserving; stars pass 1, 0)
     sub_dx/dy: subpixel center offsets [pixels]
+
+    Galaxy support (imsim/stamp.py:482-525 renders any object type via
+    FFT): when (gal_y, gal_dx, gal_A) are given, each stamp is
+    PSF x galaxy — the isotropic PSF MTF times the galaxy's unit-hlr
+    MTF table gal_y evaluated at |gal_A^T k| (gal_A = lens_matrix with
+    hlr folded in: intrinsic ellipse + weak-lensing shear/magnification,
+    identical to the photon path's real-space transform).
     """
     B, K = mtf_y.shape
     # irfft2 output axes: (-2) = image rows = y, (-1) = image cols = x
@@ -158,21 +204,34 @@ def render_fft_stamps(mtf_y, mtf_dx, flux, q, beta, sub_dx, sub_dy,
     kx = jnp.fft.rfftfreq(N, d=pixel_scale) * 2 * jnp.pi
     KY, KX = jnp.meshgrid(ky, kx, indexing="ij")             # (N, N//2+1)
 
-    def one(Ty, dxk, f, qq, bb, sx, sy):
+    def interp_tab(Ty, fidx, Kt):
+        fidx = jnp.clip(fidx, 0.0, Kt - 1.000001)
+        i0 = jnp.floor(fidx).astype(jnp.int32)
+        w = fidx - i0
+        return Ty[i0] * (1 - w) + Ty[i0 + 1] * w
+
+    def one(Ty, dxk, f, qq, bb, sx, sy, gy, gA):
         c, s = jnp.cos(bb), jnp.sin(bb)
         # rotate then anisotropic scale (inverse of real-space stretch)
         kx_r = c * KX + s * KY
         ky_r = -s * KX + c * KY
         sq = jnp.sqrt(qq)
         kr = jnp.hypot(kx_r * sq, ky_r / sq)
-        fidx = jnp.clip(kr / dxk, 0.0, K - 1.000001)
-        i0 = jnp.floor(fidx).astype(jnp.int32)
-        w = fidx - i0
-        T = Ty[i0] * (1 - w) + Ty[i0 + 1] * w
+        T = interp_tab(Ty, kr / dxk, K)
+        if gy is not None:
+            kx_g = gA[0, 0] * KX + gA[1, 0] * KY     # A^T k
+            ky_g = gA[0, 1] * KX + gA[1, 1] * KY
+            T = T * interp_tab(gy, jnp.hypot(kx_g, ky_g) / gal_dx,
+                               gy.shape[0])
         phase = jnp.exp(-1j * (KX * sx + KY * sy) * pixel_scale)
         return T * phase * f
 
-    F = jax.vmap(one)(mtf_y, mtf_dx, flux, q, beta, sub_dx, sub_dy)
+    if gal_y is None:
+        F = jax.vmap(lambda *a: one(*a, None, None))(
+            mtf_y, mtf_dx, flux, q, beta, sub_dx, sub_dy)
+    else:
+        F = jax.vmap(one)(mtf_y, mtf_dx, flux, q, beta, sub_dx, sub_dy,
+                          gal_y, gal_A)
     img = jnp.fft.irfft2(F, s=(N, N), axes=(-2, -1))
     # center the PSF at N//2 (fftshift via roll)
     img = jnp.roll(img, (N // 2, N // 2), axis=(-2, -1))

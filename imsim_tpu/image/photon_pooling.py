@@ -73,15 +73,32 @@ class PoolingConfig:
 def classify_objects(host: SceneHost, cfg: PoolingConfig,
                      psf_mtf=None) -> np.ndarray:
     """Vectorized mode partition (imsim/photon_pooling.py:356-386 runs
-    the stamp classifier per object; here it's one array pass)."""
+    the stamp classifier per object; here it's one array pass).
+
+    Extended objects (Sersic/knots) can also trigger the FFT branch —
+    the reference's classifier evaluates the realized stamp peak for
+    ANY type (imsim/stamp.py:356-386): their point-approximation peak
+    is corrected by the galaxy's convolution suppression factor
+    (fft_render.galaxy_peak_factor), evaluated only for the few
+    candidates whose point-peak already exceeds the threshold."""
+    from ..catalog.instcat import KNOTS, SERSIC
+    from .scene import COL_P0, COL_P1
+
     modes = np.full(host.n_objects, PHOT, np.int8)
     modes[host.flux[:host.n_objects] < cfg.faint_thresh] = FAINT
     if cfg.fft_sb_thresh > 0 and psf_mtf is not None:
         peak = F.peak_surface_brightness(host.flux[:host.n_objects],
                                          psf_mtf, cfg.pixel_scale)
-        # galaxies spread flux further; only point-ish objects go FFT
         obj_type = np.asarray(host.scene.obj_type)[:host.n_objects]
-        modes[(peak > cfg.fft_sb_thresh) & (obj_type == 0)] = FFT
+        cand = peak > cfg.fft_sb_thresh
+        modes[cand & (obj_type == 0)] = FFT
+        params = np.asarray(host.scene.params)[:host.n_objects]
+        for i in np.nonzero(cand & ((obj_type == SERSIC)
+                                    | (obj_type == KNOTS)))[0]:
+            n_s = 1.0 if obj_type[i] == KNOTS else params[i, COL_P1]
+            fac = F.galaxy_peak_factor(psf_mtf, n_s, params[i, COL_P0])
+            if peak[i] * fac > cfg.fft_sb_thresh:
+                modes[i] = FFT
     return modes
 
 
@@ -412,26 +429,44 @@ def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
     actually added per object (stamp sums after noise/clipping —
     imsim/stamp.py:525 realized_flux semantics).
     """
+    from ..catalog.instcat import KNOTS, SERSIC
+    from .fft_render import lens_matrix, sersic_mtf_table
+    from .scene import (COL_P0, COL_P1, COL_P2, COL_P3, COL_G1, COL_G2,
+                        COL_MU)
+
     idx = np.nonzero(modes == FFT)[0]
     if logger:
         logger.info("FFT pass: %d objects", len(idx))
+    params = np.asarray(host.scene.params)
     if host.pix_x is not None:
         xs_all = np.asarray(host.pix_x, float)
         ys_all = np.asarray(host.pix_y, float)
     else:
-        params = np.asarray(host.scene.params)
         xs_all = params[:host.n_objects, 0]
         ys_all = params[:host.n_objects, 1]
+    obj_type = np.asarray(host.scene.obj_type)[:host.n_objects]
     flux = host.flux[:host.n_objects].astype(np.float64)
     if vign is not None:
         flux = flux * np.asarray(vign, float)
     realized = np.zeros(host.n_objects)
     H, W = image.shape
-    buckets: dict[int, list[int]] = {}
+    # bucket by (stamp size, galaxy Sersic index rounded | None):
+    # galaxies ride the same batched kernel with their unit-hlr MTF
+    # factor evaluated under the full lensing matrix
+    buckets: dict[tuple, list[int]] = {}
     for i in idx:
-        N = F.stamp_bucket(flux[i], psf_mtf, cfg.pixel_scale)
-        buckets.setdefault(N, []).append(i)
-    for bucket_i, (N, ids) in enumerate(sorted(buckets.items())):
+        if obj_type[i] in (SERSIC, KNOTS):
+            n_s = 1.0 if obj_type[i] == KNOTS else round(
+                float(params[i, COL_P1]), 1)
+            mtf_i = F.combined_mtf_table(psf_mtf, sersic_mtf_table(n_s),
+                                         gal_scale=float(params[i, COL_P0]))
+            N = F.stamp_bucket(flux[i], mtf_i, cfg.pixel_scale)
+            buckets.setdefault((N, n_s), []).append(i)
+        else:
+            N = F.stamp_bucket(flux[i], psf_mtf, cfg.pixel_scale)
+            buckets.setdefault((N, None), []).append(i)
+    for bucket_i, ((N, n_s), ids) in enumerate(sorted(
+            buckets.items(), key=lambda kv: (kv[0][0], str(kv[0][1])))):
         B = len(ids)
         K = len(psf_mtf.y)
         mtf_y = np.broadcast_to(np.asarray(psf_mtf.y), (B, K)).copy()
@@ -439,13 +474,24 @@ def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
         ys = ys_all[ids]
         x0 = np.clip(np.floor(xs).astype(int) - N // 2, -N, W)
         y0 = np.clip(np.floor(ys).astype(int) - N // 2, -N, H)
+        gal_kw = {}
+        if n_s is not None:
+            gt = sersic_mtf_table(n_s)
+            p = params[ids]
+            A = lens_matrix(p[:, COL_P2], p[:, COL_P3], p[:, COL_G1],
+                            p[:, COL_G2], p[:, COL_MU], p[:, COL_P0])
+            gal_kw = dict(
+                gal_y=jnp.broadcast_to(jnp.asarray(gt.y),
+                                       (B, len(gt.y))),
+                gal_dx=float(gt.dx),
+                gal_A=jnp.asarray(A, jnp.float32))
         stamps = F.render_fft_stamps(
             jnp.asarray(mtf_y), jnp.full((B,), psf_mtf.dx, jnp.float32),
             jnp.asarray(flux[ids], jnp.float32),
             jnp.ones((B,), jnp.float32), jnp.zeros((B,), jnp.float32),
             jnp.asarray(xs - np.floor(xs), jnp.float32),
             jnp.asarray(ys - np.floor(ys), jnp.float32),
-            N, cfg.pixel_scale)
+            N, cfg.pixel_scale, **gal_kw)
         # FFT numerics can ring negative (imsim/stamp.py:518-519)
         stamps = jnp.maximum(stamps, 0.0)
         if spikes is not None:

@@ -177,3 +177,65 @@ def test_checkpoint_recovery_from_bak(tmp_path):
     os.replace(path, path + "_bak")
     ck2 = Checkpointer(path)
     assert ck2.load("state") == {"batch": 7}
+
+
+def _gal_host(img=256, flux=5e6, hlr=0.8, n_sersic=1.5, q=0.5,
+              beta=0.6, pix=(128.0, 128.0)):
+    wl = np.linspace(550.0, 690.0, WL_CDF_K, dtype=np.float32)
+    scene = DeviceScene.from_columns(
+        x=np.array([pix[0]]), y=np.array([pix[1]]),
+        obj_type=np.array([1]), p0=np.array([hlr]),
+        p1=np.array([n_sersic]), p2=np.array([q]),
+        p3=np.array([beta]), g1=np.zeros(1), g2=np.zeros(1),
+        mu=np.ones(1),
+        wl_icdf=np.broadcast_to(wl, (1, WL_CDF_K)))
+    return SceneHost(scene=scene, flux=np.array([flux]),
+                     nominal_flux=np.array([flux]), n_objects=1,
+                     pix_x=np.array([pix[0]]), pix_y=np.array([pix[1]]))
+
+
+def test_fft_branch_renders_sersic_galaxy():
+    """A bright compact galaxy above fft_sb_thresh takes the FFT branch
+    (imsim/stamp.py renders any type via FFT) and its stamp must carry
+    the full flux, sit at the right centroid, and be LARGER and
+    ELLIPTICAL per its (hlr, q, beta) vs the same-flux star."""
+    cfg = _fft_cfg()
+    gal = _gal_host(flux=5e7, hlr=0.5, n_sersic=1.0, q=0.4, beta=0.0)
+    img, modes, realized = render_ccd_pooled(3, gal, cfg)
+    assert modes[0] == FFT
+    a = np.asarray(img)
+    assert abs(a.sum() - gal.flux[0]) < 4 * np.sqrt(gal.flux[0])
+    yy, xx = np.mgrid[:256, :256]
+    s = a.sum()
+    cx = (a * xx).sum() / s
+    cy = (a * yy).sum() / s
+    assert abs(cx - 128.0) < 1.0 and abs(cy - 128.0) < 1.0
+    vxx = (a * (xx - cx) ** 2).sum() / s
+    vyy = (a * (yy - cy) ** 2).sum() / s
+    # star of the same flux for comparison
+    star = _bright_host(flux=5e7, pix=(128.0, 128.0))
+    img_s, modes_s, _ = render_ccd_pooled(3, star, cfg)
+    b = np.asarray(img_s)
+    ss = b.sum()
+    sxx = (b * (xx - 128.0) ** 2).sum() / ss
+    # galaxy is extended: bigger second moment than the bare PSF
+    assert vxx > 1.3 * sxx, (vxx, sxx)
+    # beta=0, q=0.4: major axis along x after ellipse rotation
+    assert vxx > 1.5 * vyy, (vxx, vyy)
+
+
+def test_fft_galaxy_vs_extreme_faint_threshold():
+    """A big diffuse galaxy whose point-approx peak exceeds the
+    threshold but whose true (convolved) peak does not must STAY on
+    the photon path (galaxy_peak_factor suppression)."""
+    cfg = _fft_cfg()
+    gal = _gal_host(flux=3e6, hlr=3.0, n_sersic=1.0)
+    from imsim_tpu.image.photon_pooling import PHOT
+    from imsim_tpu.image import fft_render as FR
+    r0_500 = 0.9758834 * 500e-9 / (cfg.fwhm * np.pi / 180 / 3600)
+    psf_mtf = FR.psf_mtf_table(622.0, r0_500, gauss_fwhm=cfg.gauss_fwhm)
+    peak_pt = FR.peak_surface_brightness(gal.flux[:1], psf_mtf,
+                                         cfg.pixel_scale)
+    assert peak_pt[0] > cfg.fft_sb_thresh      # point approx would trigger
+    modes = classify_objects(gal, cfg, psf_mtf)
+    assert modes[0] == PHOT                    # suppression kept it photon
