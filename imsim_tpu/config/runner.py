@@ -332,7 +332,13 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
         fft_sb_thresh=float(stamp_cfg.get("fft_sb_thresh", 0.0)),
         pixel_scale=float(img_cfg.get("pixel_scale", 0.2)),
         fwhm=float(ctx.opsim.get("FWHMeff", 0.8)),
-        nbatch_per_checkpoint=int(img_cfg.get("nbatch_per_checkpoint", 1)))
+        nbatch_per_checkpoint=int(img_cfg.get("nbatch_per_checkpoint", 1)),
+        # ChromaticAtmosphere exponent of the screen PSF
+        # (imsim/atmPSF.py:298-318; atm_psf.exponent, -0.3 Kolmogorov)
+        chromatic_exponent=float(
+            (cfg.get("input", {}).get("atm_psf", {}) or {})
+            .get("exponent", -0.3)) if ctx.atm_cfg is not None else 0.0,
+        wl_ref=float(bandpass.effective_wavelength))
 
     sk_table = None
     if ctx.atm_cfg is not None:

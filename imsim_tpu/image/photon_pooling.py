@@ -64,6 +64,11 @@ class PoolingConfig:
     # (~8.6 ns/photon/layer), so 4 cuts them 4x; per-pixel statistics
     # stay Poisson-consistent (validated in tests)
     pupil_pairing: int = 4
+    # ChromaticAtmosphere scaling of the screen (first-kick) PSF:
+    # kick *= (lambda/wl_ref)^chromatic_exponent per photon
+    # (imsim/atmPSF.py:298-318, atm_psf.exponent; -0.3 = Kolmogorov)
+    chromatic_exponent: float = -0.3
+    wl_ref: float = 622.0
     # optional override of the fast-path isotropic PSF radial table
     # (DoubleGaussianPSF / KolmogorovPSF fallback families,
     # imsim/atmPSF.py:448-538)
@@ -349,7 +354,7 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
             screens, sk_table, psf_tables["kolmogorov"],
             jnp.float32(gauss_sigma), silicon, image,
             cfg.exptime, cfg.pixel_scale, cfg.nsub, track_realized,
-            pair)
+            pair, cfg.chromatic_exponent, cfg.wl_ref)
         if batch_realized is not None:
             realized += np.asarray(batch_realized, np.float64)
         if checkpointer is not None and \
@@ -368,12 +373,15 @@ _build_obj_map_jit = jax.jit(build_obj_map,
 
 @partial(jax.jit, static_argnames=("nb", "batch_size", "exptime",
                                    "pixel_scale", "nsub",
-                                   "track_realized", "pair"))
+                                   "track_realized", "pair",
+                                   "chromatic_exponent", "wl_ref"))
 def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
                        batch_size, tel, ctx, screens, sk_table,
                        kolm_table, gauss_sigma, silicon, image,
                        exptime, pixel_scale, nsub,
-                       track_realized: bool = False, pair: int = 1):
+                       track_realized: bool = False, pair: int = 1,
+                       chromatic_exponent: float = 0.0,
+                       wl_ref: float = 622.0):
     obj_idx, weight = batch_from_obj_map(obj_map, total, b, nb,
                                          batch_size, pair)
     # per-photon params via scatter+cumsum instead of a row-gather;
@@ -389,7 +397,8 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
         photons = render.shoot_full(
             key, scene, obj_idx, weight, tel, ctx, screens=screens,
             sk_table=sk_table, exptime=exptime, row=row,
-            pupil_pairing=pair)
+            pupil_pairing=pair,
+            chromatic_exponent=chromatic_exponent, wl_ref=wl_ref)
     else:
         photons = render.shoot(
             key, scene, obj_idx, weight,

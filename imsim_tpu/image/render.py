@@ -216,7 +216,9 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
                exptime: float = 30.0, pupil_radius: float = 4.18,
                pupil_obscuration: float = 0.612,
                row: jax.Array = None,
-               pupil_pairing: int = 4) -> PhotonBatch:
+               pupil_pairing: int = 4,
+               chromatic_exponent: float = 0.0,
+               wl_ref: float = 622.0) -> PhotonBatch:
     """Full physics chain for a pooled batch: the per-photon equivalent of
     the reference's photon_ops pipeline (imsim/stamp.py:527-573 with
     config/imsim-config.yaml:281-320):
@@ -307,8 +309,18 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
         ddx, ddy = first_kick_angles(pu_h, pv_h, t_h, screens,
                                      theta_x=thx[:m],
                                      theta_y=thy[:m])
-        thx = thx + blk(ddx)
-        thy = thy + blk(ddy)
+        if chromatic_exponent:
+            # ChromaticAtmosphere scaling of the screen PSF
+            # (imsim/atmPSF.py:298-318: alpha = atm_psf.exponent, -0.3
+            # Kolmogorov): each photon's geometric kick scales by
+            # (lambda / lambda_eff)^alpha — elementwise exp/log, free
+            scale = jnp.exp(jnp.float32(chromatic_exponent)
+                            * jnp.log(wl / jnp.float32(wl_ref)))
+            thx = thx + blk(ddx) * scale
+            thy = thy + blk(ddy) * scale
+        else:
+            thx = thx + blk(ddx)
+            thy = thy + blk(ddy)
     pu = blk(pu_h)
     pv = blk(pv_h)
     t = blk(t_h)

@@ -78,3 +78,67 @@ def test_time_advection_changes_kick():
     p1 = atm.first_kick(ph.replace(time=jnp.full((n,), 15.0)), scr, 1.0)
     # same pupil, different time -> different deflection (frozen flow)
     assert float(jnp.mean(jnp.abs(p0.x - p1.x))) > 1e-4
+
+
+def test_chromatic_first_kick_scaling():
+    """ChromaticAtmosphere parity (imsim/atmPSF.py:298-318): with
+    exponent = -0.3 the screen kick scales per photon as
+    (lambda/wl_ref)^-0.3 — blue photons see a wider geometric PSF."""
+    import jax
+    import jax.numpy as jnp
+    from imsim_tpu.image.render import shoot_full
+    from imsim_tpu.image.scene import WL_CDF_K, DeviceScene
+    from imsim_tpu.electronics.camera import get_camera
+    from imsim_tpu.optics.wcs_factory import make_wcs_factory
+    from imsim_tpu.photons.optics_ops import make_optics_context
+
+    DEG = np.pi / 180
+    fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")
+    ccd = get_camera("LsstCamSim")["R22_S11"]
+    ctx = make_optics_context(fac, ccd)
+    tel32 = fac.telescope.for_detector(ccd.det_name)
+    cfg = atm.AtmConfig(fwhm=2.5, nlayers=2, screen_size=204.8,
+                        screen_scale=0.8)
+    scr = atm.make_screens(11, cfg, rng=np.random.default_rng(11))
+
+    wcs = fac.get_wcs(ccd)
+    ra, dec = wcs.xy_to_radec(np.array([2048.0]), np.array([2048.0]))
+    thx, thy = fac.icrf_to_field(ra, dec)
+
+    def spread(wl_nm, exponent):
+        wl = np.full(WL_CDF_K, wl_nm, np.float32)
+        scene = DeviceScene.from_columns(
+            x=thx, y=thy, obj_type=np.zeros(1), p0=np.zeros(1),
+            p1=np.ones(1), p2=np.ones(1), p3=np.zeros(1),
+            g1=np.zeros(1), g2=np.zeros(1), mu=np.ones(1),
+            wl_icdf=wl[None, :])
+        n = 16384
+        obj_idx = jnp.zeros((n,), jnp.int32)
+        w = jnp.ones((n,), jnp.float32)
+
+        @jax.jit
+        def run(key):
+            ph = shoot_full(key, scene, obj_idx, w, tel32, ctx,
+                            screens=scr, chromatic_exponent=exponent,
+                            wl_ref=622.0)
+            return ph.x, ph.y, ph.flux
+
+        x, y, f = run(jax.random.PRNGKey(2))
+        x, y, f = map(np.asarray, (x, y, f))
+        keep = f > 0
+        # IQR: robust to the spider-diffraction heavy tails (which are
+        # strongly chromatic on their own and would swamp std)
+        qx = np.subtract(*np.percentile(x[keep], [75, 25]))
+        qy = np.subtract(*np.percentile(y[keep], [75, 25]))
+        return qx + qy
+
+    # SAME-wavelength pairs cancel the (real, large) chromatic optics
+    # defocus; only the screen-kick scaling differs.  Exaggerated
+    # exponent -3 for signal: scale(560) = (560/622)^-3 = 1.37,
+    # scale(700) = 0.70.
+    s_blue = spread(560.0, -3.0)
+    s_blue0 = spread(560.0, 0.0)
+    s_red = spread(700.0, -3.0)
+    s_red0 = spread(700.0, 0.0)
+    assert s_blue > 1.10 * s_blue0, (s_blue, s_blue0)
+    assert s_red < 0.95 * s_red0, (s_red, s_red0)
