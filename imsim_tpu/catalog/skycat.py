@@ -72,10 +72,103 @@ class SkyCatalogInterface:
             return self.df[col].to_numpy()
         return default
 
+    def _expand_components(self):
+        """Multi-component galaxy assembly (imsim/skycat.py:147-203:
+        get_gsobject_components returns {bulge, disk, knots} and the
+        builder Adds them).  When the frame carries DC2-style
+        per-component columns, each galaxy row becomes one ObjectTable
+        row per component:
+
+          bulge: Sersic(sersic_bulge), hlr = size_bulge_true,
+                 q from size_minor_bulge_true / size_bulge_true
+          disk:  Sersic(sersic_disk), same pattern, flux reduced by the
+                 knots carve-out (DC2: knots flux is part of the disk)
+          knots: n_knots RandomKnots with the disk's morphology
+
+        Flux split: bulge_frac of the total to the bulge; the rest to
+        disk*(1 - knots_flux_ratio) and knots.  magnorm is adjusted by
+        -2.5 log10(frac) per component row.
+        """
+        import pandas as pd
+
+        df = self.df
+        if "size_bulge_true" not in df.columns and \
+                "size_disk_true" not in df.columns:
+            return df
+        kind = np.array([str(k).lower() for k in
+                         self._get("obj_kind",
+                                   np.array(["star"] * len(df), object))],
+                        object)
+        gal = kind == "galaxy"
+        if not gal.any():
+            return df
+        base = df[~gal]
+        g = df[gal]
+
+        def col(name, default):
+            return (g[name].to_numpy(float) if name in g.columns
+                    else np.full(len(g), default))
+
+        bulge_frac = np.clip(col("bulge_frac", 0.0), 0.0, 1.0)
+        knots_ratio = np.clip(col("knots_flux_ratio", 0.0), 0.0, 1.0)
+        n_knots = col("n_knots", 0.0)
+        rows = []
+        specs = [
+            ("bulge", bulge_frac, "size_bulge_true",
+             "size_minor_bulge_true", col("sersic_bulge", 4.0), None),
+            ("disk", (1 - bulge_frac) * (1 - knots_ratio),
+             "size_disk_true", "size_minor_disk_true",
+             col("sersic_disk", 1.0), None),
+            ("knots", (1 - bulge_frac) * knots_ratio, "size_disk_true",
+             "size_minor_disk_true", None, n_knots),
+        ]
+        mag = (g[self.cols["magnorm"]].to_numpy(float)
+               if self.cols["magnorm"] in g.columns
+               else np.full(len(g), 25.0))
+        for cname, frac, scol, smcol, sersic, nk in specs:
+            size = col(scol, 0.0)
+            keep = (frac > 1e-6) & (size > 0)
+            if nk is not None:
+                keep &= nk >= 1
+            if not keep.any():
+                continue
+            sub = g[keep].copy()
+            size_k = size[keep]
+            minor = col(smcol, 0.0)[keep]
+            sub["object_type_expanded"] = "knots" if cname == "knots" \
+                else "galaxy"
+            sub["size_true_expanded"] = np.sqrt(
+                size_k * np.where(minor > 0, minor, size_k))
+            sub["axis_ratio_expanded"] = np.where(
+                minor > 0, minor / size_k, 1.0)
+            sub["sersic_expanded"] = (nk[keep] if nk is not None
+                                      else sersic[keep])
+            sub["magnorm_expanded"] = mag[keep] - 2.5 * np.log10(
+                np.maximum(frac[keep], 1e-12))
+            rows.append(sub)
+        if not rows:
+            return df
+        out = pd.concat([base] + rows, ignore_index=True)
+        # route the mapped columns at the expanded names
+        self.cols = dict(self.cols)
+        for key, newcol in (("obj_kind", "object_type_expanded"),
+                            ("hlr", "size_true_expanded"),
+                            ("q", "axis_ratio_expanded"),
+                            ("sersic", "sersic_expanded"),
+                            ("magnorm", "magnorm_expanded")):
+            old = self.cols.get(key)
+            fallback = out[old] if old in out.columns else np.nan
+            out[newcol] = out[newcol].where(out[newcol].notna(),
+                                            fallback) \
+                if newcol in out.columns else fallback
+            self.cols[key] = newcol
+        return out
+
     def to_object_table(self, wcs=None, xsize=4096, ysize=4096,
                         edge_pix=100, logger=None) -> ObjectTable:
         """Polygon-region cull (the pixel-box equivalent of
         skycat.py:88-107) + schema conversion."""
+        self.df = self._expand_components()
         n = len(self.df)
         ra = self._get("ra") * DEG
         dec = self._get("dec") * DEG
@@ -108,7 +201,10 @@ class SkyCatalogInterface:
                                float),
             obj_type=obj_type.astype(np.int32),
             p0=np.asarray(hlr, float),
-            p1=np.clip(np.asarray(sersic, float), 0.3, 6.2),
+            # p1: Sersic index for galaxies, n_knots for knots rows
+            p1=np.where(obj_type == KNOTS,
+                        np.maximum(np.asarray(sersic, float), 1.0),
+                        np.clip(np.asarray(sersic, float), 0.3, 6.2)),
             p2=np.clip(np.asarray(q, float), 0.05, 1.0),
             p3=np.asarray(beta, float),
             g1=g1r, g2=g2r, mu=mu,

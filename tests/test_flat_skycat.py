@@ -80,3 +80,58 @@ def test_skycat_parquet_roundtrip(tmp_path):
     tab3 = sc.to_object_table(wcs=FakeWCS(), xsize=4000, ysize=4000,
                               edge_pix=50)
     assert 0 < len(tab3) <= n
+
+
+def test_skycat_multicomponent_galaxy(tmp_path):
+    """DC2-style per-component columns expand each galaxy into
+    bulge + disk + knots rows (imsim/skycat.py:147-203 builds a
+    galsim.Add of the components), with the flux split
+    bulge_frac / disk*(1-knots_ratio) / knots and knots carrying the
+    disk morphology."""
+    import pandas as pd
+
+    from imsim_tpu.catalog.instcat import KNOTS
+
+    df = pd.DataFrame(dict(
+        id=[1, 2],
+        ra=[30.0, 30.001], dec=[-20.0, -20.001],
+        magnorm=[22.0, 21.0],
+        object_type=["galaxy", "star"],
+        sed_filepath=["flatSED/sed_flat.txt"] * 2,
+        redshift=[0.5, 0.0],
+        size_bulge_true=[0.4, np.nan],
+        size_minor_bulge_true=[0.3, np.nan],
+        sersic_bulge=[4.0, np.nan],
+        size_disk_true=[1.2, np.nan],
+        size_minor_disk_true=[0.6, np.nan],
+        sersic_disk=[1.0, np.nan],
+        bulge_frac=[0.3, np.nan],
+        knots_flux_ratio=[0.2, np.nan],
+        n_knots=[25, 0],
+        shear_1=[0.01, 0.0], shear_2=[-0.02, 0.0],
+        convergence=[0.0, 0.0],
+    ))
+    p = tmp_path / "cat.parquet"
+    df.to_parquet(p)
+    cat = SkyCatalogInterface(str(p))
+    tab = cat.to_object_table()
+    # star + bulge + disk + knots
+    assert len(tab) == 4
+    kinds = sorted(tab.obj_type.tolist())
+    assert kinds == sorted([POINT, SERSIC, SERSIC, KNOTS])
+    gal_rows = tab.obj_type == SERSIC
+    knot_rows = tab.obj_type == KNOTS
+    # bulge: n=4, hlr = sqrt(0.4*0.3), q=0.75; disk: n=1
+    ns = np.sort(tab.p1[gal_rows])
+    assert abs(ns[0] - 1.0) < 1e-6 and abs(ns[1] - 4.0) < 1e-6
+    assert abs(tab.p1[knot_rows][0] - 25) < 1e-6        # n_knots
+    # flux split: 10^(-0.4 dmag) fractions sum to 1
+    base_mag = 22.0
+    fracs = 10 ** (-0.4 * (tab.magnorm[gal_rows | knot_rows] - base_mag))
+    assert abs(fracs.sum() - 1.0) < 1e-6
+    # knots row inherits disk morphology
+    krow = np.nonzero(knot_rows)[0][0]
+    assert abs(tab.p0[krow] - np.sqrt(1.2 * 0.6)) < 1e-6
+    # star row untouched
+    srow = np.nonzero(tab.obj_type == POINT)[0][0]
+    assert abs(tab.magnorm[srow] - 21.0) < 1e-6
