@@ -238,7 +238,8 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
 
     # ---- flats (LSST_Flat image type, imsim/flat.py role) ----------------
     if img_cfg.get("type") == "LSST_Flat":
-        from ..image.flat import FlatConfig, build_flat
+        from ..image.flat import (FlatConfig, build_flat,
+                                  build_flat_photons)
 
         sp = SiliconParams.make(
             treering_model=ctx.tree_rings.get(det_name))
@@ -247,7 +248,25 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
                                                80_000.0)),
             counts_per_iter=float(img_cfg.get("counts_per_iter", 1000.0)),
             xsize=nx, ysize=ny, exptime=exptime)
-        flat = build_flat(ctx.seed + det_num, fcfg, sp, logger=logger)
+        if img_cfg.get("sed"):
+            # SED photon-shooting branch (imsim/flat.py:239-264:
+            # `image.sed` switches to WavelengthSampler + accumulate)
+            import os as _os
+
+            from ..catalog.sed import _cached_raw_sed
+            from ..image.scene import _wavelength_icdf
+
+            sed_dir = ((cfg.get("input", {})
+                        .get("instance_catalog", {}) or {})
+                       .get("sed_dir", "."))
+            sed = _cached_raw_sed(_os.path.join(sed_dir,
+                                                img_cfg["sed"]))
+            icdf = _wavelength_icdf(sed, bandpass)
+            flat = build_flat_photons(ctx.seed + det_num, fcfg, icdf,
+                                      sp, logger=logger)
+        else:
+            flat = build_flat(ctx.seed + det_num, fcfg, sp,
+                              logger=logger)
         result = dict(det_name=det_name, det_num=det_num,
                       eimage=np.asarray(flat), wcs=wcs, modes=None,
                       host=None, ccd=ccd, table=None)

@@ -85,6 +85,83 @@ def build_flat(seed: int, cfg: FlatConfig,
     return image
 
 
+@partial(jax.jit, static_argnames=("n_phot", "nsub"))
+def _flat_photon_iteration(key, image, wl_icdf_row, params: SiliconParams,
+                           n_phot: int, nsub: int = 1):
+    """One photon-shooting iteration: n_phot uniform-position photons
+    with SED-sampled wavelengths through the FULL silicon model
+    (conversion depth, diffusion, tree rings, BF resume) — the
+    reference's sed-flat branch (imsim/flat.py:239-264: uniform
+    PhotonArray + WavelengthSampler + sensor.accumulate(resume))."""
+    from ..photons.batch import PhotonBatch
+    from ..sensor.silicon import accumulate_silicon
+
+    H, W = image.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = jax.random.uniform(k1, (n_phot,), minval=-0.5, maxval=W - 0.5)
+    y = jax.random.uniform(k2, (n_phot,), minval=-0.5, maxval=H - 0.5)
+    u = jax.random.uniform(k3, (n_phot,))
+    K = wl_icdf_row.shape[0]
+    f = jnp.clip(u, 0.0, 1.0) * (K - 1.000001)
+    j = jnp.floor(f).astype(jnp.int32)
+    w = f - j
+    wl = wl_icdf_row[j] * (1 - w) + wl_icdf_row[j + 1] * w
+    z = jnp.zeros((n_phot,), jnp.float32)
+    ph = PhotonBatch(x=x, y=y, flux=jnp.ones((n_phot,), jnp.float32),
+                     wavelength=wl, dxdz=z, dydz=z, pupil_u=z,
+                     pupil_v=z, time=z, abs_len=None)
+    return accumulate_silicon(k4, ph, image, params, nsub=nsub)
+
+
+def build_flat_photons(seed: int, cfg: FlatConfig, wl_icdf,
+                       params: SiliconParams | None = None,
+                       checkpointer=None, logger=None):
+    """SED photon-shooting flat (imsim/flat.py sed-mode): counts build
+    up by shooting wavelength-sampled photons through the silicon
+    model, so conversion depth (and therefore diffusion and the BF
+    coupling) carries the SED's chromatic weighting — NIR-heavy SEDs
+    convert deep and lose photons, UV converts at the surface and
+    diffuses most.
+
+    wl_icdf: (K,) inverse CDF of the illumination SED x throughput
+    (the WavelengthSampler equivalent — e.g. one row of
+    scene.DeviceScene.wl_icdf or catalog.bandpass sampling).
+
+    Mean level control matches the reference: counts_per_iter mean
+    counts per pixel per iteration (expected, before NIR conversion
+    losses), iterated to counts_per_pixel."""
+    params = params or SiliconParams.make()
+    image = jnp.zeros((cfg.ysize, cfg.xsize), jnp.float32)
+    n_iter = int(np.ceil(cfg.counts_per_pixel / cfg.counts_per_iter))
+    n_phot = int(cfg.counts_per_iter * cfg.xsize * cfg.ysize)
+    # bound device memory per dispatch (the reference bounds memory by
+    # amp-section tiling, flat.py:180-215; here by photon sub-batches —
+    # the image itself is one 67 MB array either way)
+    cap = 16_777_216
+    n_sub = max(1, -(-n_phot // cap))
+    per = -(-n_phot // n_sub)
+    wl_row = jnp.asarray(wl_icdf, jnp.float32)
+    start = 0
+    if checkpointer is not None:
+        saved = checkpointer.load("flat_phot")
+        if saved is not None:
+            image = jnp.asarray(saved["image"])
+            start = saved["next_iter"]
+    for k in range(start, n_iter):
+        for s in range(n_sub):
+            image = _flat_photon_iteration(
+                stream(seed, "flatphot", k * n_sub + s), image, wl_row,
+                params, per)
+        if checkpointer is not None and (k + 1) % 10 == 0:
+            image.block_until_ready()
+            checkpointer.save("flat_phot", dict(image=np.asarray(image),
+                                                next_iter=k + 1))
+    if logger:
+        logger.info("photon flat: %d iterations x %d photons", n_iter,
+                    n_phot)
+    return image
+
+
 def flat_statistics(image) -> dict:
     """Mean/variance diagnostics: the BF signature is a photon-transfer
     curve bending below the Poisson line."""

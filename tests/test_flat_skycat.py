@@ -135,3 +135,59 @@ def test_skycat_multicomponent_galaxy(tmp_path):
     # star row untouched
     srow = np.nonzero(tab.obj_type == POINT)[0][0]
     assert abs(tab.magnorm[srow] - 21.0) < 1e-6
+
+
+def test_flat_photon_shooting_sed_path():
+    """The SED photon-shooting flat (imsim/flat.py:239-264 branch):
+    wavelengths ride through the full silicon model, so a NIR SED
+    loses photons to pass-through (mean below nominal) while an
+    optical SED lands them all; noise stays ~Poisson."""
+    import jax.numpy as jnp
+
+    from imsim_tpu.image.flat import FlatConfig, build_flat_photons
+
+    cfg = FlatConfig(counts_per_pixel=1000.0, counts_per_iter=250.0,
+                     xsize=96, ysize=96)
+    params = SiliconParams.make(bf_strength=0.0)
+
+    icdf_opt = np.full(96, 620.0, np.float32)    # all photons at 620 nm
+    img_opt = build_flat_photons(2, cfg, icdf_opt, params)
+    st = flat_statistics(img_opt)
+    assert abs(st["mean"] - 1000.0) < 15.0, st
+    assert abs(st["var_over_mean"] - 1.0) < 0.06, st
+
+    icdf_nir = np.full(96, 1050.0, np.float32)   # deep-converting NIR
+    img_nir = build_flat_photons(2, cfg, icdf_nir, params)
+    st_n = flat_statistics(img_nir)
+    # l_abs(1050nm) ~ 400 um >> 100 um thickness: most photons pass
+    # through the device entirely
+    assert st_n["mean"] < 0.5 * st["mean"], st_n
+
+
+def test_flat_photon_sed_via_runner(tmp_path):
+    """image.sed switches the LSST_Flat builder to the photon branch."""
+    import numpy as np
+
+    from imsim_tpu.config.runner import run_visit
+
+    d = tmp_path / "seds" / "flatSED"
+    d.mkdir(parents=True)
+    w = np.linspace(300, 1150, 200)
+    np.savetxt(d / "sed_flat.txt", np.column_stack([w, np.ones_like(w)]))
+    out = str(tmp_path / "out")
+    res = run_visit(
+        {"template": "imsim-config-flat"},
+        overrides=[
+            "image.counts_per_pixel=2",
+            "image.counts_per_iter=1",
+            "image.sed=flatSED/sed_flat.txt",
+            f"input.instance_catalog.sed_dir={tmp_path / 'seds'}",
+            "input.atm_psf.screen_size=102.4",
+            "input.atm_psf.screen_scale=0.8",
+            f"output.dir={out}",
+            "output.det_num=[94]",
+            "output.file_name=flat_{det_name}.fits",
+        ])
+    img = res[0]["eimage"]
+    # flat SED x r-band: every wavelength converts; mean ~ nominal
+    assert abs(img.mean() - 2.0) < 0.2
