@@ -23,22 +23,87 @@ import jax
 import jax.numpy as jnp
 
 
+@functools.lru_cache(maxsize=8)
+def calibrate_spike_profile(wavelength_nm: float = 622.0,
+                            pixel_scale: float = 0.2,
+                            n_phot: int = 1 << 21, seed: int = 0,
+                            r_min_px: float = 2.0):
+    """Calibrate the FFT spike kernel against the PHOTON-SHOT spikes —
+    the reference's own method (imsim/diffraction_fft.py:5-26 fits its
+    brightness law a/(b + (r/c)^2)^2 to photon-shooting output).
+
+    Shoots n_phot photons over the pupil annulus through the statistical
+    spider model (photons.diffraction.apply_diffraction, no field
+    rotation), histograms |kick| along the arms, and fits the Lorentzian
+    tail A / (1 + (r/s)^2)^p.  Returns dict(fraction, r_scale_px,
+    power): fraction = P(|kick| > r_min_px), the kernel's
+    spike_flux_fraction; r_scale_px, power = fitted profile shape.
+    Cached per (band wavelength, pixel scale)."""
+    from ..photons.diffraction import apply_diffraction
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    u1 = jax.random.uniform(k1, (n_phot,))
+    u2 = jax.random.uniform(k2, (n_phot,))
+    r = jnp.sqrt(0.612**2 * 4.18**2 + u1 * (1 - 0.612**2) * 4.18**2)
+    a = u2 * 2 * jnp.pi
+    pu, pv = r * jnp.cos(a), r * jnp.sin(a)
+    z = jnp.zeros((n_phot,))
+    du, dv = apply_diffraction(k3, pu, pv, z, z,
+                               jnp.full((n_phot,), wavelength_nm),
+                               enable_field_rotation=False)
+    arcsec = np.pi / 180 / 3600
+    kick_px = np.asarray(jnp.hypot(du, dv)) / arcsec / pixel_scale
+    fraction = float((kick_px > r_min_px).mean())
+    # tail histogram in log-spaced radial bins; weight by 1 (arm flux
+    # per unit radius, not per unit area — spikes are 1-D structures)
+    edges = np.geomspace(r_min_px, 500.0, 40)
+    hist, _ = np.histogram(kick_px, bins=edges)
+    centers = np.sqrt(edges[:-1] * edges[1:])
+    widths = np.diff(edges)
+    dens = hist / widths
+    good = dens > 0
+    # fit log dens = log A - p*log(1 + (r/s)^2) over s grid
+    best = None
+    for s in np.geomspace(0.5, 30.0, 40):
+        X = np.log1p((centers[good] / s) ** 2)
+        A = np.vstack([np.ones_like(X), -X]).T
+        coef, res, *_ = np.linalg.lstsq(A, np.log(dens[good]),
+                                        rcond=None)
+        r2 = float(res[0]) if len(res) else 0.0
+        if best is None or r2 < best[0]:
+            best = (r2, s, coef[1])
+    return dict(fraction=fraction, r_scale_px=float(best[1]),
+                power=float(best[2]))
+
+
 @functools.lru_cache(maxsize=16)
 def spike_kernel(wavelength_nm: float = 622.0, pixel_scale: float = 0.2,
                  alpha_deg: float = 45.0, rot_smear_deg: float = 0.5,
-                 n: int = 513, spike_flux_fraction: float = 0.02):
+                 n: int = 513, spike_flux_fraction: float = None,
+                 profile_power: float = None, r_scale_px: float = None):
     """(n, n) kernel: central delta (1 - f) + 4 spikes carrying f.
 
-    Radial profile ~ Lorentzian^2 in distance (the sinc^2 envelope of a
+    Radial profile ~ Lorentzian^p in distance (the sinc^2 envelope of a
     strut, azimuthally averaged — the reference fits brightness =
     a / (b + (r/c)^2)^2 to photon-shooting output, :5-26).  The cross is
-    rotated to the spider angle and smeared over the field rotation."""
+    rotated to the spider angle and smeared over the field rotation.
+
+    By default the flux fraction, radial scale and power come from
+    calibrate_spike_profile — i.e. from this framework's own
+    photon-shot spider spikes, the same calibration methodology the
+    reference used against its photon output."""
+    if spike_flux_fraction is None or profile_power is None \
+            or r_scale_px is None:
+        cal = calibrate_spike_profile(wavelength_nm, pixel_scale)
+        if spike_flux_fraction is None:
+            spike_flux_fraction = cal["fraction"]
+        if profile_power is None:
+            profile_power = cal["power"]
+        if r_scale_px is None:
+            r_scale_px = cal["r_scale_px"]
     c = n // 2
     yy, xx = np.mgrid[-c:c + 1, -c:c + 1]
-    # spike half-width scale in pixels: lambda/(strut width) diffraction
-    # angle ~ lam/0.05m = 1.2e-5 rad ~ 2.5 arcsec ~ 12 px at 622nm
-    r_scale = (wavelength_nm * 1e-9 / 0.05) / (pixel_scale * np.pi / 180
-                                               / 3600)
     kern = np.zeros((n, n))
     n_rot = max(int(rot_smear_deg / 0.1), 1)
     for drot in np.linspace(-rot_smear_deg / 2, rot_smear_deg / 2, n_rot):
@@ -47,7 +112,8 @@ def spike_kernel(wavelength_nm: float = 622.0, pixel_scale: float = 0.2,
             along = xx * ca + yy * sa
             perp = xx * -sa + yy * ca
             on_spike = (along > 0.5)
-            prof = 1.0 / (1.0 + (along / r_scale) ** 2) ** 1.5
+            prof = 1.0 / (1.0 + (along / r_scale_px) ** 2) \
+                ** profile_power
             width = 1.0 + 0.02 * np.abs(along)      # slight flare
             lateral = np.exp(-0.5 * (perp / width) ** 2)
             kern += np.where(on_spike, prof * lateral, 0.0)

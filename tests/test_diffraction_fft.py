@@ -39,3 +39,62 @@ def test_apply_spikes_conserves_and_triggers():
     d1 = sum(out[100 + k, 100 + k] for k in range(8, 30))
     off = sum(out[100 + k, 100] for k in range(8, 30))
     assert d1 > 3 * off, (d1, off)
+
+
+def test_kernel_calibrated_against_photon_spikes():
+    """The kernel's defaults come from photon-shot spider spikes — the
+    reference's calibration method (imsim/diffraction_fft.py:5-26 fits
+    its brightness law to photon-shooting output).  Check (a) the
+    fraction matches the photon tail probability, (b) the kernel's
+    cumulative arm profile tracks the photon |kick| distribution."""
+    from imsim_tpu.image.diffraction_fft import calibrate_spike_profile
+
+    cal = calibrate_spike_profile(622.0)
+    # a few percent of photons land in the spikes at r-band
+    assert 0.02 < cal["fraction"] < 0.10, cal
+    k = spike_kernel(622.0, n=513)
+    c = k.shape[0] // 2
+    spike_flux = k.sum() - k[c, c]
+    assert abs(spike_flux - cal["fraction"]) < 0.2 * cal["fraction"]
+    # cumulative radial arm flux of the kernel vs the photon CDF shape:
+    # both measured as flux fraction beyond r, ratio within 2x over the
+    # usable arm range (the kernel is truncated at the stamp edge)
+    n = k.shape[0]
+    yy, xx = np.mgrid[:n, :n] - c
+    rr = np.hypot(xx, yy)
+    kc = k.copy()
+    kc[c, c] = 0.0
+    for r0 in (5.0, 15.0, 40.0):
+        kern_beyond = kc[rr > r0].sum() / kc.sum()
+        # photon side: P(|kick| > r0 px | > r_min)
+        import jax
+        import jax.numpy as jnp
+        from imsim_tpu.photons.diffraction import apply_diffraction
+
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        m = 1 << 20
+        u1 = jax.random.uniform(k1, (m,))
+        u2 = jax.random.uniform(k2, (m,))
+        r = jnp.sqrt(0.612**2 * 4.18**2 + u1 * (1 - 0.612**2) * 4.18**2)
+        a = u2 * 2 * jnp.pi
+        z = jnp.zeros((m,))
+        du, dv = apply_diffraction(k3, r * jnp.cos(a), r * jnp.sin(a),
+                                   z, z, jnp.full((m,), 622.0),
+                                   enable_field_rotation=False)
+        arcsec = np.pi / 180 / 3600
+        kick = np.asarray(jnp.hypot(du, dv)) / arcsec / 0.2
+        phot_beyond = (kick > r0).sum() / max((kick > 2.0).sum(), 1)
+        assert 0.5 < kern_beyond / phot_beyond < 2.0, \
+            (r0, kern_beyond, phot_beyond)
+
+
+def test_kernel_wavelength_dependence():
+    """Longer wavelengths diffract more: the calibrated spike fraction
+    grows with lambda (u -> y band)."""
+    from imsim_tpu.image.diffraction_fft import calibrate_spike_profile
+
+    f_u = calibrate_spike_profile(365.0)["fraction"]
+    f_r = calibrate_spike_profile(622.0)["fraction"]
+    f_y = calibrate_spike_profile(970.0)["fraction"]
+    assert f_u < f_r < f_y
