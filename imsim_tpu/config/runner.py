@@ -359,6 +359,18 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
             .get("exponent", -0.3)) if ctx.atm_cfg is not None else 0.0,
         wl_ref=float(bandpass.effective_wavelength))
 
+    # per-pixel sky level (counts): both the noise floor added below and
+    # the stamp-sizing folding threshold noise_var/flux
+    # (imsim/stamp_utils.py:119-144)
+    sky_cfg_val = img_cfg.get("sky_level")
+    sky_level = 0.0
+    ra_c, dec_c = wcs.xy_to_radec((nx - 1) / 2.0, (ny - 1) / 2.0)
+    if isinstance(sky_cfg_val, (int, float)):
+        sky_level = float(sky_cfg_val)
+    elif sky_cfg_val is not None:
+        sky_level = ctx.sky_model.get_sky_level(float(ra_c), float(dec_c))
+    pcfg.noise_var = float(sky_level)
+
     sk_table = None
     if ctx.atm_cfg is not None:
         from ..utils.lookup import PolyCDF
@@ -438,15 +450,8 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
         image, modes = jnp.zeros((ny, nx), jnp.float32), None
 
     # ---- sky + noise ---------------------------------------------------------
-    # numeric sky_level (incl. 0 to disable) is honored directly; the
-    # default {type: SkyLevel} dict invokes the sky model
-    sky_cfg_val = img_cfg.get("sky_level")
-    sky_level = 0.0
-    ra_c, dec_c = wcs.xy_to_radec((nx - 1) / 2.0, (ny - 1) / 2.0)
-    if isinstance(sky_cfg_val, (int, float)):
-        sky_level = float(sky_cfg_val)
-    elif sky_cfg_val is not None:
-        sky_level = ctx.sky_model.get_sky_level(float(ra_c), float(dec_c))
+    # sky_level computed above (numeric value incl. 0 honored directly;
+    # the default {type: SkyLevel} dict invoked the sky model)
     if sky_level > 0:
         grad = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0))
         if img_cfg.get("apply_sky_gradient", True):

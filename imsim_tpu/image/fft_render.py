@@ -238,21 +238,62 @@ def render_fft_stamps(mtf_y, mtf_dx, flux, q, beta, sub_dx, sub_dy,
     return img
 
 
+_ENCLOSED_CACHE: dict = {}
+
+
+def _enclosed_flux_curve(mtf: UniformTable, pixel_scale: float,
+                         n_grid: int = 2048, oversize: float = 2.0):
+    """E(r): cumulative enclosed flux of the profile defined by the
+    radial MTF, from one host irfft2 of the table on an
+    (n_grid x n_grid) grid at `oversize x pixel_scale` sampling.
+    Cached per table content (combined PSF x galaxy tables reuse it
+    across same-shape objects)."""
+    key = (float(mtf.x0), float(mtf.dx), len(mtf.y), float(pixel_scale),
+           hash(np.asarray(mtf.y).tobytes()))
+    hit = _ENCLOSED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = pixel_scale * oversize
+    ky = np.fft.fftfreq(n_grid, d=d) * 2 * np.pi
+    kx = np.fft.rfftfreq(n_grid, d=d) * 2 * np.pi
+    KY, KX = np.meshgrid(ky, kx, indexing="ij")
+    kr = np.hypot(KX, KY)
+    y = np.asarray(mtf.y, np.float64)
+    T = np.interp(kr, mtf.x0 + np.arange(len(y)) * mtf.dx, y, right=0.0)
+    img = np.fft.irfft2(T, s=(n_grid, n_grid))
+    img = np.roll(img, (n_grid // 2, n_grid // 2), axis=(0, 1))
+    c = n_grid // 2
+    yy, xx = np.mgrid[:n_grid, :n_grid]
+    rr = np.hypot(xx - c, yy - c).ravel()
+    order = np.argsort(rr)
+    cum = np.cumsum(np.maximum(img.ravel()[order], 0.0))
+    cum /= cum[-1]
+    # compress to a monotone (r, E) curve on a log-radial grid
+    r_as = rr[order] * d
+    r_grid = np.geomspace(max(d, 1e-3), r_as[-1], 512)
+    E = np.interp(r_grid, r_as, cum)
+    _ENCLOSED_CACHE[key] = (r_grid, E)
+    return r_grid, E
+
+
 def stamp_bucket(flux, mtf: UniformTable, pixel_scale=0.2,
+                 noise_var: float = 0.0,
                  folding_threshold=5e-3, nmax=4096):
-    """Pick the bucketed stamp size capturing the profile wings — the
-    stamp-sizing role of imsim/stamp_utils.py:79-155, computed from the
-    same table: find r where the cumulative profile reaches
-    1 - folding_threshold via the real-space profile FT."""
-    # cheap proxy: effective FWHM from MTF half-power point
-    k = mtf.x0 + np.arange(len(mtf.y)) * mtf.dx
-    y = np.asarray(mtf.y)
-    k_half = np.interp(0.5, y[::-1], k[::-1])
-    fwhm_as = 2.0 / max(k_half, 1e-6) * 2.355 / 2.0
-    # wings: Kolmogorov-like growth with flux (stamp must hold the flux
-    # above ~folding_threshold of sky sigma); scale like reference's
-    # e-folding quantization
-    r_as = fwhm_as * (1.5 + 0.4 * np.log10(max(flux, 1.0)))
+    """Bucketed stamp size from the profile's TRUE enclosed-flux radius
+    — the reference's sizing chain (imsim/stamp_utils.py:79-155):
+    folding_threshold = noise_var / flux floored to the nearest
+    e-folding (never raised above the GalSim default 5e-3), then the
+    radius where the profile folds below it (getGoodImageSize), so
+    bright stars against the same sky get stamps exactly wide enough
+    to hold their wings above the noise floor."""
+    ft = noise_var / flux if (flux > 0 and noise_var > 0) else 0.0
+    if ft >= folding_threshold or ft == 0:
+        ft = folding_threshold
+    else:
+        ft = float(np.exp(np.floor(np.log(ft))))
+    r_grid, E = _enclosed_flux_curve(mtf, pixel_scale)
+    # radius enclosing 1 - ft of the flux
+    r_as = float(np.interp(1.0 - ft, E, r_grid))
     n = int(2 * r_as / pixel_scale)
     for b in STAMP_BUCKETS:
         if n <= b:

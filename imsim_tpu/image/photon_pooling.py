@@ -69,6 +69,9 @@ class PoolingConfig:
     # (imsim/atmPSF.py:298-318, atm_psf.exponent; -0.3 = Kolmogorov)
     chromatic_exponent: float = -0.3
     wl_ref: float = 622.0
+    # per-pixel noise variance (sky counts): sets the stamp-sizing
+    # folding threshold noise_var/flux (imsim/stamp_utils.py:119-144)
+    noise_var: float = 0.0
     # optional override of the fast-path isotropic PSF radial table
     # (DoubleGaussianPSF / KolmogorovPSF fallback families,
     # imsim/atmPSF.py:448-538)
@@ -469,10 +472,12 @@ def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
                 float(params[i, COL_P1]), 1)
             mtf_i = F.combined_mtf_table(psf_mtf, sersic_mtf_table(n_s),
                                          gal_scale=float(params[i, COL_P0]))
-            N = F.stamp_bucket(flux[i], mtf_i, cfg.pixel_scale)
+            N = F.stamp_bucket(flux[i], mtf_i, cfg.pixel_scale,
+                               noise_var=cfg.noise_var)
             buckets.setdefault((N, n_s), []).append(i)
         else:
-            N = F.stamp_bucket(flux[i], psf_mtf, cfg.pixel_scale)
+            N = F.stamp_bucket(flux[i], psf_mtf, cfg.pixel_scale,
+                               noise_var=cfg.noise_var)
             buckets.setdefault((N, None), []).append(i)
     for bucket_i, ((N, n_s), ids) in enumerate(sorted(
             buckets.items(), key=lambda kv: (kv[0][0], str(kv[0][1])))):

@@ -253,3 +253,26 @@ def test_opd_zernike_recovery():
     # expect the injected mode to dominate the difference
     j_peak = int(np.argmax(np.abs(dz))) + 1
     assert j_peak == 7, (j_peak, dz)
+
+
+def test_stamp_sizing_folding_threshold():
+    """Stamp size from the TRUE enclosed-flux radius with the
+    noise_var/flux folding threshold (imsim/stamp_utils.py:119-155):
+    brighter stars and lower noise both grow the stamp; the default
+    threshold bounds faint stamps."""
+    from imsim_tpu.image import fft_render as F
+
+    mtf = F.psf_mtf_table(622.0, 0.15)
+    n_faint = F.stamp_bucket(1e4, mtf, 0.2, noise_var=400.0)
+    n_bright = F.stamp_bucket(1e8, mtf, 0.2, noise_var=400.0)
+    n_bright_hinoise = F.stamp_bucket(1e8, mtf, 0.2, noise_var=40000.0)
+    assert n_bright > n_faint
+    assert n_bright >= n_bright_hinoise
+    # default threshold when noise_var unknown
+    n_def = F.stamp_bucket(1e8, mtf, 0.2)
+    assert n_def <= n_bright
+    # enclosed-flux sanity: the chosen stamp holds >= 1 - ft of flux
+    r_grid, E = F._enclosed_flux_curve(mtf, 0.2)
+    ft = np.exp(np.floor(np.log(400.0 / 1e8)))
+    r_needed = np.interp(1 - ft, E, r_grid)
+    assert n_bright >= min(2 * r_needed / 0.2 * 0.9, 4096)

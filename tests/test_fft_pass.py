@@ -204,7 +204,10 @@ def test_fft_branch_renders_sersic_galaxy():
     img, modes, realized = render_ccd_pooled(3, gal, cfg)
     assert modes[0] == FFT
     a = np.asarray(img)
-    assert abs(a.sum() - gal.flux[0]) < 4 * np.sqrt(gal.flux[0])
+    # folding threshold (default 5e-3) legitimately leaves up to 0.5%
+    # of the wings outside the stamp (imsim/stamp_utils.py semantics)
+    assert abs(a.sum() - gal.flux[0]) < \
+        4 * np.sqrt(gal.flux[0]) + 0.005 * gal.flux[0]
     yy, xx = np.mgrid[:256, :256]
     s = a.sum()
     cx = (a * xx).sum() / s
