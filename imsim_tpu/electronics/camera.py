@@ -91,7 +91,7 @@ class CCD(dict):
     """dict of Amp keyed by name + CCD-level info."""
 
     def __init__(self, det_name, vendor, serial, bounds, center_mm,
-                 full_well, xtalk, height_mm=0.0):
+                 full_well, xtalk, height_mm=0.0, rot_deg=0.0):
         super().__init__()
         self.det_name = det_name
         self.vendor = vendor
@@ -105,6 +105,12 @@ class CCD(dict):
         # + telescope_loader.py:398-415); synthesized at LSST flatness
         # tolerance scale like the rest of the camera model
         self.height_mm = height_mm
+        # per-detector yaw about its center (cameraGeom Orientation
+        # rotation; as-built LSSTCam detectors sit a few arcmin off
+        # nominal).  Synthesized at that tolerance scale; measured
+        # values drop in via the camera-info JSON (load order:
+        # build_ccd -> apply_camera_info)
+        self.rot_deg = rot_deg
 
     def getSerial(self):
         return self.serial
@@ -145,9 +151,11 @@ def build_ccd(det_name: str, bias_levels: dict | None = None) -> CCD:
             d = abs(col_i - col_j) + 4 * abs(row_i - row_j)
             xt[i, j] = rng.normal(0, 2e-6) + (2e-6 / (1 + d * d))
     height_mm = float(_det_hash(det_name, "height").normal(0.0, 0.008))
+    rot_deg = float(_det_hash(det_name, "yaw").normal(0.0, 0.02))
     ccd = CCD(det_name, vendor, serial,
               Bounds(0, nx - 1, 0, ny - 1), (cx, cy),
-              spec["full_well"], xt, height_mm=height_mm)
+              spec["full_well"], xt, height_mm=height_mm,
+              rot_deg=rot_deg)
 
     raw_nx = pre + anx + sos
     raw_ny = any_ + pos
@@ -209,6 +217,10 @@ class Camera(dict):
                     ccd.full_well = float(ov["full_well"])
                     for a in ccd.values():
                         a.full_well = float(ov["full_well"])
+                if "rot_deg" in ov:
+                    ccd.rot_deg = float(ov["rot_deg"])
+                if "height_mm" in ov:
+                    ccd.height_mm = float(ov["height_mm"])
                 for aname, g in (ov.get("gains") or {}).items():
                     ccd[aname].gain = float(g)
                 for aname, rn in (ov.get("read_noise") or {}).items():
@@ -237,17 +249,26 @@ def get_camera(camera="LsstCamSim", bias_levels_file=None,
 
 def pixel_to_focal_mm(ccd: CCD, x, y):
     """CCD pixel -> focal plane mm (x along columns), the FOCAL_PLANE
-    transform of imsim/utils.py:42-98 for unrotated science rafts."""
+    transform of imsim/utils.py:42-98, including the detector's yaw
+    about its center (cameraGeom Orientation rotation)."""
     nx = ccd.bounds.width
     ny = ccd.bounds.height
-    fx = ccd.center_mm[0] + (np.asarray(x) - (nx - 1) / 2) * PIXEL_SIZE_MM
-    fy = ccd.center_mm[1] + (np.asarray(y) - (ny - 1) / 2) * PIXEL_SIZE_MM
+    dx = (np.asarray(x) - (nx - 1) / 2) * PIXEL_SIZE_MM
+    dy = (np.asarray(y) - (ny - 1) / 2) * PIXEL_SIZE_MM
+    r = np.radians(getattr(ccd, "rot_deg", 0.0))
+    c, s = np.cos(r), np.sin(r)
+    fx = ccd.center_mm[0] + c * dx - s * dy
+    fy = ccd.center_mm[1] + s * dx + c * dy
     return fx, fy
 
 
 def focal_mm_to_pixel(ccd: CCD, fx, fy):
     nx = ccd.bounds.width
     ny = ccd.bounds.height
-    x = (np.asarray(fx) - ccd.center_mm[0]) / PIXEL_SIZE_MM + (nx - 1) / 2
-    y = (np.asarray(fy) - ccd.center_mm[1]) / PIXEL_SIZE_MM + (ny - 1) / 2
+    ux = np.asarray(fx) - ccd.center_mm[0]
+    uy = np.asarray(fy) - ccd.center_mm[1]
+    r = np.radians(getattr(ccd, "rot_deg", 0.0))
+    c, s = np.cos(r), np.sin(r)
+    x = (c * ux + s * uy) / PIXEL_SIZE_MM + (nx - 1) / 2
+    y = (-s * ux + c * uy) / PIXEL_SIZE_MM + (ny - 1) / 2
     return x, y

@@ -43,6 +43,8 @@ class OpticsContext:
     k2_ref: jax.Array
     det_cx_mm: jax.Array      # detector center in focal plane
     det_cy_mm: jax.Array
+    det_crot: jax.Array       # cos/sin of the detector yaw
+    det_srot: jax.Array       #   (cameraGeom Orientation rotation)
     xi_table: jax.Array       # (256,) air index excess over XI_WAVE grid
     det_nx: int
     det_ny: int
@@ -54,7 +56,7 @@ class OpticsContext:
     def tree_flatten(self):
         return ((self.bore_alt, self.bore_az, self.crot, self.srot,
                  self.k1_ref, self.k2_ref, self.det_cx_mm, self.det_cy_mm,
-                 self.xi_table),
+                 self.det_crot, self.det_srot, self.xi_table),
                 (self.det_nx, self.det_ny, self.latitude,
                  self.pressure_kpa, self.temperature_k, self.h2o_kpa))
 
@@ -77,6 +79,8 @@ def make_optics_context(wcs_factory, ccd) -> OpticsContext:
         srot=f(np.sin(wcs_factory.telescope.rotTelPos)),
         k1_ref=f(obs.k1), k2_ref=f(obs.k2),
         det_cx_mm=f(ccd.center_mm[0]), det_cy_mm=f(ccd.center_mm[1]),
+        det_crot=f(np.cos(np.radians(getattr(ccd, "rot_deg", 0.0)))),
+        det_srot=f(np.sin(np.radians(getattr(ccd, "rot_deg", 0.0)))),
         xi_table=jnp.asarray(xi, jnp.float32),
         det_nx=ccd.bounds.width, det_ny=ccd.bounds.height,
         latitude=float(obs.lat), pressure_kpa=float(obs.pressure_kpa),
@@ -145,8 +149,14 @@ def field_to_sensor(key, tel, ctx: OpticsContext, thx, thy, pupil_u,
                                              pupil_v)
     out = trace(tel, px, py, pz, vx, vy, vz, wavelength_nm, jnp)
     flux = jnp.where(out["vignette"], 0.0, flux)
-    x_pix = (out["x"] * 1e3 - ctx.det_cx_mm) * 100.0 + (ctx.det_nx - 1) / 2.0
-    y_pix = (out["y"] * 1e3 - ctx.det_cy_mm) * 100.0 + (ctx.det_ny - 1) / 2.0
+    # focal mm -> detector pixels through the detector's yaw
+    # (electronics.camera.focal_mm_to_pixel, kept in scalar form here)
+    ux = out["x"] * 1e3 - ctx.det_cx_mm
+    uy = out["y"] * 1e3 - ctx.det_cy_mm
+    x_pix = (ctx.det_crot * ux + ctx.det_srot * uy) * 100.0 \
+        + (ctx.det_nx - 1) / 2.0
+    y_pix = (-ctx.det_srot * ux + ctx.det_crot * uy) * 100.0 \
+        + (ctx.det_ny - 1) / 2.0
     dxdz, dydz = silicon_refraction(out["vx"], out["vy"], out["vz"],
                                     wavelength_nm)
     return x_pix, y_pix, dxdz, dydz, flux

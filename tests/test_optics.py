@@ -176,3 +176,23 @@ def test_zernike_basis():
     z = zernike_eval(coef, x[:5000], y[:5000])
     rec = fit_zernikes(x[:5000], y[:5000], z, 10)
     np.testing.assert_allclose(rec, coef, atol=1e-8)
+
+
+def test_detector_yaw_consistency():
+    """Per-detector rotation (cameraGeom Orientation yaw): the pixel
+    transforms, the fitted WCS, and the photon raytrace must all carry
+    the same yaw, so photons still land at WCS-predicted pixels."""
+    from imsim_tpu.electronics.camera import (focal_mm_to_pixel,
+                                              pixel_to_focal_mm)
+
+    cam = get_camera("LsstCamSim")
+    ccd = cam["R22_S11"]
+    assert abs(getattr(ccd, "rot_deg", 0.0)) > 1e-5  # synthesized yaw on
+    # transform roundtrip with rotation
+    fx, fy = pixel_to_focal_mm(ccd, np.array([100.0]), np.array([3000.0]))
+    xb, yb = focal_mm_to_pixel(ccd, fx, fy)
+    assert abs(xb[0] - 100.0) < 1e-9 and abs(yb[0] - 3000.0) < 1e-9
+    # rotation actually shears the corner by the expected amount
+    fx0 = ccd.center_mm[0] + (100.0 - (ccd.bounds.width - 1) / 2) \
+        * 0.01
+    assert abs(fx[0] - fx0) > 1e-5
