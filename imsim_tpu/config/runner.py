@@ -534,6 +534,34 @@ def eimage_header(ctx: VisitContext, det_name, wcs):
                wcs, np.degrees(q))
 
 
+def _run_readout(ctx: VisitContext, result, r_cfg) -> np.ndarray:
+    """Device readout chain -> (16, ny, nx) int amps as numpy."""
+    ccd = result["ccd"]
+    ro = CcdReadout(ccd, readout_time=float(r_cfg.get("readout_time",
+                                                      2.0)),
+                    dark_current=float(r_cfg.get("dark_current", 0.02)),
+                    scti=float(r_cfg.get("scti", 1e-6)),
+                    pcti=float(r_cfg.get("pcti", 1e-6)))
+    return np.asarray(ro.run(stream(ctx.seed, "readout",
+                                    result["det_num"]),
+                             jnp.asarray(result["eimage"]),
+                             exptime=float(ctx.opsim.get("exptime",
+                                                         30.0))))
+
+
+def prepare_readout(ctx: VisitContext, result) -> None:
+    """Run the DEVICE part of output generation (the readout chain) and
+    stash the host arrays in `result`, so write_outputs becomes pure
+    host IO (RICE compression in C++ releases the GIL; disk writes
+    block) — the split that lets pipelined visits overlap one CCD's
+    file output with the next CCD's render."""
+    out_cfg = ctx.cfg.get("output", {})
+    r_cfg = out_cfg.get("readout", {}) or {}
+    if r_cfg.get("enabled", True):
+        result["amps"] = _run_readout(ctx, result, r_cfg)
+    result["eimage"] = np.asarray(result["eimage"])
+
+
 def write_outputs(ctx: VisitContext, result, logger=None):
     cfg = ctx.cfg
     out_cfg = cfg.get("output", {})
@@ -551,18 +579,14 @@ def write_outputs(ctx: VisitContext, result, logger=None):
                [HDU(eimage.astype(np.float32),
                     header=eimage_header(ctx, det_name, wcs))])
 
-    # raw amp file through the readout chain
+    # raw amp file through the readout chain; `amps` may have been
+    # precomputed by prepare_readout (pipelined visits keep device work
+    # on the main thread and hand only pure host IO to workers)
     r_cfg = out_cfg.get("readout", {}) or {}
     if r_cfg.get("enabled", True):
-        ro = CcdReadout(ccd, readout_time=float(r_cfg.get("readout_time",
-                                                          2.0)),
-                        dark_current=float(r_cfg.get("dark_current", 0.02)),
-                        scti=float(r_cfg.get("scti", 1e-6)),
-                        pcti=float(r_cfg.get("pcti", 1e-6)))
-        amps = np.asarray(ro.run(stream(ctx.seed, "readout", det_num),
-                                 jnp.asarray(eimage),
-                                 exptime=float(ctx.opsim.get("exptime",
-                                                             30.0))))
+        amps = result.get("amps")
+        if amps is None:
+            amps = _run_readout(ctx, result, r_cfg)
         from ..electronics.headers import amp_header, raw_primary_header
 
         eh = eimage_header(ctx, det_name, wcs)
@@ -665,10 +689,34 @@ def write_outputs(ctx: VisitContext, result, logger=None):
 
 def run_visit(cfg_or_path, overrides=(), logger=None):
     """Entry point: `imsim_tpu.run_visit('user.yaml')` — the
-    `galsim user.yaml` equivalent."""
+    `galsim user.yaml` equivalent.
+
+    With `output.io_workers: N` (N >= 1) multi-CCD visits run a
+    PIPELINED output stage: the device renders CCD k+1 while worker
+    threads RICE-compress and write CCD k's files (the C++ codec and
+    disk IO release the GIL; all device work stays on the main
+    thread).  The per-CCD fan-out role of the reference's
+    output.nproc (imsim/ccd.py + multiprocessing) for the IO-bound
+    tail — compute fan-out is the mesh path (parallel/visit.py)."""
     cfg = load_config(cfg_or_path, overrides)
     ctx = build_visit_context(cfg, logger)
+    io_workers = int((cfg.get("output", {}) or {}).get("io_workers", 0))
+    dets = _det_list(ctx)
+    if io_workers <= 0 or len(dets) <= 1:
+        return [render_one_ccd(ctx, det_num, logger)
+                for det_num in dets]
+
+    from concurrent.futures import ThreadPoolExecutor
+
     results = []
-    for det_num in _det_list(ctx):
-        results.append(render_one_ccd(ctx, det_num, logger))
+    futures = []
+    with ThreadPoolExecutor(max_workers=io_workers) as pool:
+        for det_num in dets:
+            result = render_one_ccd(ctx, det_num, logger, write=False)
+            prepare_readout(ctx, result)          # device, main thread
+            futures.append(pool.submit(write_outputs, ctx, result,
+                                       logger))
+            results.append(result)
+        for f in futures:
+            f.result()                            # propagate IO errors
     return results
