@@ -112,3 +112,35 @@ def test_readout_signal_gain():
         data = raw[k, :spec["amp_ny"], pre:pre + anx]
         expected = 1700.0 / amp.gain + amp.bias_level
         assert abs(data.mean() - expected) < 1.5
+
+
+def test_cte_bands_match_dense_matrix():
+    """The banded CTE application must reproduce the dense matrix
+    product to f32 precision (the band truncation error is < 1e-12
+    relative at realistic cti)."""
+    import jax.numpy as jnp
+
+    from imsim_tpu.electronics.readout import apply_cte_bands, cte_bands
+
+    rng = np.random.default_rng(0)
+    for cti in (1e-6, 5e-6):
+        n = 300
+        M = cte_matrix(n, cti)
+        bands = cte_bands(n, cti)
+        x = rng.uniform(0, 1e5, (4, n, 37))
+        dense = np.einsum("pq,aqx->apx", M, x)
+        banded = np.asarray(apply_cte_bands(jnp.asarray(x, jnp.float32),
+                                            jnp.asarray(bands,
+                                                        jnp.float32),
+                                            axis=1))
+        rel = np.abs(banded - dense) / np.maximum(np.abs(dense), 1.0)
+        assert rel.max() < 2e-6, rel.max()
+        # serial axis too
+        y = rng.uniform(0, 1e5, (4, 11, n))
+        dense_s = np.einsum("sq,ayq->ays", M, y)
+        banded_s = np.asarray(apply_cte_bands(
+            jnp.asarray(y, jnp.float32),
+            jnp.asarray(bands, jnp.float32), axis=2))
+        rel_s = np.abs(banded_s - dense_s) / np.maximum(np.abs(dense_s),
+                                                        1.0)
+        assert rel_s.max() < 2e-6, rel_s.max()
