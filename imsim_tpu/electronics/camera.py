@@ -21,6 +21,13 @@ import numpy as np
 SCIENCE_RAFTS = [f"R{x}{y}" for x in range(5) for y in range(5)
                  if f"{x}{y}" not in ("00", "04", "40", "44")]
 SENSORS = [f"S{i}{j}" for i in range(3) for j in range(3)]
+# Corner rafts: 2 full-size ITL guiders (SG0/SG1) + an intra/extra
+# wavefront pair of half-height ITL sensors (SW0 at -1.5 mm, SW1 at
+# +1.5 mm focal height) — the LsstCam corner-raft complement
+# (lsst.obs.lsst cameraGeom; heights read by imsim/batoid_wcs.py:36)
+CORNER_RAFTS = ["R00", "R04", "R40", "R44"]
+CORNER_SENSORS = ["SG0", "SG1", "SW0", "SW1"]
+WF_HEIGHT_MM = 1.5
 
 # Vendor per raft (8 ITL rafts, 13 e2v rafts — the as-built LSSTCam mix)
 ITL_RAFTS = {"R01", "R02", "R03", "R10", "R20", "R41", "R42", "R43"}
@@ -36,6 +43,10 @@ VENDOR_SPECS = {
     "E2V": dict(nx=4096, ny=4004, amp_nx=512, amp_ny=2002,
                 prescan=10, serial_oscan=22, parallel_oscan=46,
                 full_well=175_000.0, midline_bleed_stop=True),
+    # half-height ITL wavefront sensor: single row of 8 amps
+    "ITL_WF": dict(nx=4072, ny=2000, amp_nx=509, amp_ny=2000,
+                   prescan=3, serial_oscan=32, parallel_oscan=48,
+                   full_well=97_000.0, midline_bleed_stop=False),
 }
 
 AMP_NAMES = [f"C0{i}" for i in range(8)] + [f"C1{i}" for i in range(8)]
@@ -117,12 +128,17 @@ class CCD(dict):
 
     @property
     def amp_names(self):
-        return AMP_NAMES
+        return list(self.keys())
 
 
 def build_ccd(det_name: str, bias_levels: dict | None = None) -> CCD:
     raft, sensor = det_name.split("_")
-    vendor = "ITL" if raft in ITL_RAFTS else "E2V"
+    is_corner = raft in CORNER_RAFTS
+    is_wf = is_corner and sensor.startswith("SW")
+    if is_corner:
+        vendor = "ITL_WF" if is_wf else "ITL"
+    else:
+        vendor = "ITL" if raft in ITL_RAFTS else "E2V"
     spec = VENDOR_SPECS[vendor]
     nx, ny = spec["nx"], spec["ny"]
     anx, any_ = spec["amp_nx"], spec["amp_ny"]
@@ -130,27 +146,51 @@ def build_ccd(det_name: str, bias_levels: dict | None = None) -> CCD:
 
     # focal-plane center
     rx, ry = int(raft[1]), int(raft[2])
-    sx, sy = int(sensor[1]), int(sensor[2])
-    cx = (rx - 2) * RAFT_PITCH_MM + (sx - 1) * CCD_PITCH_MM
-    cy = (ry - 2) * RAFT_PITCH_MM + (sy - 1) * CCD_PITCH_MM
+    if is_corner:
+        # corner-raft layout: sensors cluster at the raft corner
+        # nearest the field center; the wavefront pair stacks two
+        # half-height sensors into one full-CCD footprint
+        ux = 1.0 if rx == 0 else -1.0
+        uy = 1.0 if ry == 0 else -1.0
+        bx = (rx - 2) * RAFT_PITCH_MM
+        by = (ry - 2) * RAFT_PITCH_MM
+        if sensor == "SG0":
+            cx, cy = bx + ux * CCD_PITCH_MM, by
+        elif sensor == "SG1":
+            cx, cy = bx, by + uy * CCD_PITCH_MM
+        else:
+            cx = bx + ux * CCD_PITCH_MM
+            cy = by + uy * CCD_PITCH_MM \
+                + (-1.0 if sensor == "SW0" else 1.0) * uy * 10.5
+    else:
+        sx, sy = int(sensor[1]), int(sensor[2])
+        cx = (rx - 2) * RAFT_PITCH_MM + (sx - 1) * CCD_PITCH_MM
+        cy = (ry - 2) * RAFT_PITCH_MM + (sy - 1) * CCD_PITCH_MM
 
     serial = f"{vendor}-{raft}{sensor}-{abs(hash(det_name)) % 1000:03d}"
     serial = f"{vendor}-CCD{raft[1:]}{sensor[1:]}"
 
+    n_amps = 8 if is_wf else 16
     rng = _det_hash(det_name, "electronics")
-    gains = rng.normal(1.68, 0.04, 16)
-    read_noises = rng.normal(6.5, 0.6, 16) / gains  # ADU
+    gains = rng.normal(1.68, 0.04, n_amps)
+    read_noises = rng.normal(6.5, 0.6, n_amps) / gains  # ADU
     # weak symmetric crosstalk between amps, strongest for neighbors
-    xt = np.zeros((16, 16))
-    for i in range(16):
-        for j in range(16):
+    xt = np.zeros((n_amps, n_amps))
+    for i in range(n_amps):
+        for j in range(n_amps):
             if i == j:
                 continue
             row_i, col_i = divmod(i, 8)
             row_j, col_j = divmod(j, 8)
             d = abs(col_i - col_j) + 4 * abs(row_i - row_j)
             xt[i, j] = rng.normal(0, 2e-6) + (2e-6 / (1 + d * d))
-    height_mm = float(_det_hash(det_name, "height").normal(0.0, 0.008))
+    if is_wf:
+        # intra/extra focal pair (imsim/batoid_wcs.py:36 reads this
+        # height from cameraGeom and applies it as a detector z shift)
+        height_mm = -WF_HEIGHT_MM if sensor == "SW0" else WF_HEIGHT_MM
+    else:
+        height_mm = float(
+            _det_hash(det_name, "height").normal(0.0, 0.008))
     rot_deg = float(_det_hash(det_name, "yaw").normal(0.0, 0.02))
     ccd = CCD(det_name, vendor, serial,
               Bounds(0, nx - 1, 0, ny - 1), (cx, cy),
@@ -159,7 +199,7 @@ def build_ccd(det_name: str, bias_levels: dict | None = None) -> CCD:
 
     raw_nx = pre + anx + sos
     raw_ny = any_ + pos
-    for k, aname in enumerate(AMP_NAMES):
+    for k, aname in enumerate(AMP_NAMES[:n_amps]):
         row, col = divmod(k, 8)
         # imaging section: amps tile the CCD 8 cols x 2 rows; bottom row
         # (C0x) reads down, top row (C1x) reads up.
@@ -207,6 +247,11 @@ class Camera(dict):
             names = [f"R22_{s}" for s in SENSORS]
         else:
             names = [f"{r}_{s}" for r in SCIENCE_RAFTS for s in SENSORS]
+            if camera_class == "LsstCam":
+                # full focal plane: + corner-raft guiders and
+                # intra/extra wavefront sensors
+                names += [f"{r}_{s}" for r in CORNER_RAFTS
+                          for s in CORNER_SENSORS]
         for n in sorted(names):
             ccd = build_ccd(n, bias)
             ov = overrides.get(n)

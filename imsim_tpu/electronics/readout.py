@@ -131,15 +131,18 @@ def bleed_image(image, full_well: float, midline_stop: bool = False,
 
 
 def segment_image(image, vendor: str):
-    """CCD image (ny, nx) -> (16, amp_ny, amp_nx) in readout order
+    """CCD image (ny, nx) -> (n_amps, amp_ny, amp_nx) in readout order
     (bottom row C00-C07 flipped in x, top row C10-C17 flipped in y;
-    matching the Amp.raw_flip conventions in electronics.camera)."""
+    matching the Amp.raw_flip conventions in electronics.camera).
+    Half-height wavefront sensors (ITL_WF) carry only the bottom row."""
     spec = VENDOR_SPECS[vendor]
     anx, any_ = spec["amp_nx"], spec["amp_ny"]
     ny, nx = image.shape
     bottom = image[:any_].reshape(any_, 8, anx).transpose(1, 0, 2)
-    top = image[ny - any_:].reshape(any_, 8, anx).transpose(1, 0, 2)
     bottom = bottom[:, :, ::-1]        # raw_flip_x
+    if vendor == "ITL_WF":
+        return bottom
+    top = image[ny - any_:].reshape(any_, 8, anx).transpose(1, 0, 2)
     top = top[:, ::-1, :]              # raw_flip_y
     return jnp.concatenate([bottom, top], axis=0)
 
@@ -149,10 +152,12 @@ def unsegment_image(amps, vendor: str, ny: int, nx: int):
     spec = VENDOR_SPECS[vendor]
     anx, any_ = spec["amp_nx"], spec["amp_ny"]
     bottom = amps[:8][:, :, ::-1].transpose(1, 0, 2).reshape(any_, 8 * anx)
-    top = amps[8:][:, ::-1, :].transpose(1, 0, 2).reshape(any_, 8 * anx)
     img = jnp.zeros((ny, nx), amps.dtype)
     img = img.at[:any_].set(bottom)
-    img = img.at[ny - any_:].set(top)
+    if vendor != "ITL_WF":
+        top = amps[8:][:, ::-1, :].transpose(1, 0, 2).reshape(any_,
+                                                              8 * anx)
+        img = img.at[ny - any_:].set(top)
     return img
 
 
@@ -190,7 +195,7 @@ def readout_chain(key, image, gains, xtalk, bias_levels, read_noises,
                              preferred_element_type=jnp.float32)
 
     # 6. embed in raw bounds (prescan columns, parallel overscan rows)
-    raw = jnp.zeros((16, raw_ny, raw_nx), amps.dtype)
+    raw = jnp.zeros((amps.shape[0], raw_ny, raw_nx), amps.dtype)
     raw = raw.at[:, :any_, pre:pre + anx].set(amps)
 
     # 7. CTE: banded per-row multiply-adds (see cte_bands) — parallel
@@ -220,7 +225,7 @@ class CcdReadout:
         raw_ny = spec["amp_ny"] + spec["parallel_oscan"]
         self.pcte = jnp.asarray(cte_bands(raw_ny, pcti), jnp.float32)
         self.scte = jnp.asarray(cte_bands(raw_nx, scti), jnp.float32)
-        amps = [ccd[a] for a in AMP_NAMES]
+        amps = [ccd[a] for a in ccd.amp_names]
         self.gains = jnp.asarray([a.gain for a in amps], jnp.float32)
         self.read_noises = jnp.asarray(
             [read_noise if read_noise is not None else a.read_noise
