@@ -63,9 +63,14 @@ def sharded_full_step(mesh: Mesh, xsize: int, ysize: int,
         if sk_y is not None:
             from ..utils.lookup import UniformTable
             sk_table = UniformTable(0.0, 1.0 / (sk_y.shape[0] - 1), sk_y)
+        # pupil_pairing=1: this path's batches are host-strided, not
+        # block-paired (photon_pooling.build_obj_map), so pairing mates
+        # at slots (s, s+m) would hold DIFFERENT objects and the shared
+        # screen gather would sample the wrong field position.  The
+        # per-CCD pooled path is where pairing pays off.
         photons = render.shoot_full(
             key, scene, obj_idx, weight, tel, ctx, screens=screens,
-            sk_table=sk_table, exptime=exptime)
+            sk_table=sk_table, exptime=exptime, pupil_pairing=1)
         if sil is not None:
             img = accumulate_silicon(jax.random.fold_in(key, 7), photons,
                                      image, sil, nsub=nsub)
