@@ -196,3 +196,81 @@ def test_detector_yaw_consistency():
     fx0 = ccd.center_mm[0] + (100.0 - (ccd.bounds.width - 1) / 2) \
         * 0.01
     assert abs(fx[0] - fx0) > 1e-5
+
+
+def test_dcr_amplitude_and_direction():
+    """End-to-end differential chromatic refraction: monochromatic blue
+    and red photons through the FULL chain separate along the
+    zenith-ward direction by (k1(l1)-k1(l2))*tan z (+ cubic term) —
+    checked against an independent evaluation of the Edlen index and
+    the parallactic geometry (PhotonDCR physics,
+    config/imsim-config.yaml:288-296)."""
+    from imsim_tpu.image.render import shoot_full
+    from imsim_tpu.image.scene import WL_CDF_K, DeviceScene
+    from imsim_tpu.optics import geometry as G
+    from imsim_tpu.photons.optics_ops import make_optics_context
+
+    fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")
+    ccd = get_camera("LsstCamSim")["R22_S11"]
+    wcs = fac.get_wcs(ccd)
+    ctx = make_optics_context(fac, ccd)
+    tel32 = fac.telescope.for_detector(ccd.det_name)
+    ra, dec = wcs.xy_to_radec(np.array([2048.0]), np.array([2048.0]))
+    thx, thy = fac.icrf_to_field(ra, dec)
+
+    def centroid(wl_nm):
+        wl = np.full(WL_CDF_K, wl_nm, np.float32)
+        scene = DeviceScene.from_columns(
+            x=thx, y=thy, obj_type=np.zeros(1), p0=np.zeros(1),
+            p1=np.ones(1), p2=np.ones(1), p3=np.zeros(1),
+            g1=np.zeros(1), g2=np.zeros(1), mu=np.ones(1),
+            wl_icdf=wl[None, :])
+        n = 16384
+        obj_idx = jnp.zeros((n,), jnp.int32)
+        w = jnp.ones((n,), jnp.float32)
+
+        @jax.jit
+        def run(key):
+            ph = shoot_full(key, scene, obj_idx, w, tel32, ctx)
+            return ph.x, ph.y, ph.flux
+
+        x, y, f = map(np.asarray, run(jax.random.PRNGKey(3)))
+        keep = f > 0
+        # median: robust to diffraction tails
+        return np.median(x[keep]), np.median(y[keep])
+
+    l_blue, l_red = 420.0, 950.0
+    xb, yb = centroid(l_blue)
+    xr, yr = centroid(l_red)
+    dx_px = xb - xr
+    dy_px = yb - yr
+
+    # independent expectation: dalt = (k1_b - k1_r) tz + (k2_b - k2_r) tz^3
+    obs = fac.obs
+    beta = 0.001254
+    out = {}
+    for L in (l_blue, l_red):
+        xi = G.air_index_excess(np, np.array([L]), obs.pressure_kpa,
+                                obs.temperature_k,
+                                obs.h2o_pressure_kpa)[0]
+        out[L] = (xi * (1 - beta), -xi * (beta + xi * 0.5))
+    tz = np.tan(np.pi / 2 - obs.bore_alt)
+    dalt = (out[l_blue][0] - out[l_red][0]) * tz \
+        + (out[l_blue][1] - out[l_red][1]) * tz ** 3    # radians
+    # blue refracts MORE -> shifts toward zenith (higher altitude).
+    # Map the (thx, thy) shift (srot*dalt, crot*dalt) to pixels via the
+    # local WCS jacobian of the photon path itself: trace two nearby
+    # field points achromatically? Simpler: compare magnitudes and
+    # verify direction alignment with the alt-az +v axis.
+    srot = float(np.asarray(ctx.srot))
+    crot = float(np.asarray(ctx.crot))
+    plate_rad_per_px = 0.2 * np.pi / 180 / 3600
+    expect_px = dalt / plate_rad_per_px
+    meas_px = np.hypot(dx_px, dy_px)
+    assert abs(meas_px - abs(expect_px)) < 0.25 * abs(expect_px) + 0.3, \
+        (meas_px, expect_px)
+    # direction: parallel (or antiparallel per pixel-axis orientation)
+    # to the zenith-ward field direction (srot, crot)
+    dirdot = (dx_px * srot + dy_px * crot) / max(meas_px, 1e-9) \
+        / np.hypot(srot, crot)
+    assert abs(abs(dirdot) - 1.0) < 0.2, dirdot
