@@ -164,7 +164,7 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
             L0=float(acfg.get("L0", 25.0)),
             kcrit=float(acfg.get("kcrit", 0.2)),
             screen_size=float(acfg.get("screen_size", 819.2)),
-            screen_scale=float(acfg.get("screen_scale", 0.4)),
+            screen_scale=float(acfg.get("screen_scale", 0.8)),
             altitude_deg=float(ods.get("altitude", 90.0)),
             exptime=exptime)
         # private atmosphere seed: seed + 271828 (imsim/atmPSF.py:415)
