@@ -310,6 +310,16 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
                              sort_mag=bool(cat_cfg.get("sort_mag", True)),
                              flip_g2=bool(cat_cfg.get("flip_g2", True)),
                              logger=logger)
+        # image.nobjects: user cap on the object count (the reference's
+        # CI drives `image.nobjects=10`, imsim/lsst_image.py:38-44);
+        # tables are magnitude-sorted so the first N are the brightest
+        n_obj_cap = img_cfg.get("nobjects")
+        if n_obj_cap is not None and len(table) > int(n_obj_cap):
+            table = table.select(
+                np.arange(len(table)) < int(n_obj_cap))
+            if logger:
+                logger.info("image.nobjects: capped to %d objects",
+                            len(table))
         sed_dirs = cat_cfg.get("sed_dir") or \
             os.environ.get("SIMS_SED_LIBRARY_DIR", ".")
         if isinstance(sed_dirs, str):

@@ -168,3 +168,27 @@ def test_visit_checkpoint_resume(tmp_path, instcat, sed_dir):
     saved = ck.load("pooled")
     assert saved is not None and saved["next_batch"] >= 2
     assert saved["image"].sum() > 0
+
+
+def test_image_nobjects_cap(tmp_path, instcat, sed_dir):
+    """image.nobjects caps the rendered object count (the reference's
+    CI drives `galsim ... image.nobjects=10`, imsim/lsst_image.py:38-44)."""
+    from imsim_tpu.config.runner import run_visit
+
+    out = str(tmp_path / "out")
+    results = run_visit(
+        {"template": "imsim-config-instcat"},
+        overrides=[
+            f"input.instance_catalog.file_name={instcat}",
+            f"input.instance_catalog.sed_dir={sed_dir}",
+            "psf.type=DoubleGaussianPSF",
+            "image.nobjects=3",
+            "image.sky_level=0",
+            f"output.dir={out}",
+            "output.det_num=[94]",
+            "output.readout.enabled=false",
+            "output.cosmic_ray_rate=0.0",
+            "image.batch_size=50000",
+            "image.nbatch=2",
+        ])
+    assert results[0]["host"].n_objects == 3
