@@ -342,8 +342,11 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
     silicon = None
     sensor_cfg = img_cfg.get("sensor", {}) or {}
     if sensor_cfg.get("type", "Silicon") == "Silicon":
+        # sensor.strength scales the BF interaction (imsim-config.yaml
+        # image.sensor.strength -> SiliconSensor strength)
         silicon = SiliconParams.make(
-            treering_model=ctx.tree_rings.get(det_name))
+            treering_model=ctx.tree_rings.get(det_name),
+            bf_strength=0.4 * float(sensor_cfg.get("strength", 1.0)))
 
     # ---- pooled render -------------------------------------------------------
     ckpt = None
