@@ -721,14 +721,23 @@ def run_visit(cfg_or_path, overrides=(), logger=None):
 
     from concurrent.futures import ThreadPoolExecutor
 
+    def write_and_release(result):
+        # bound memory: each pending write holds a (16, 2050, 544) amp
+        # stack (~70 MB); drop it as soon as the file is on disk
+        write_outputs(ctx, result, logger)
+        result.pop("amps", None)
+
     results = []
     futures = []
     with ThreadPoolExecutor(max_workers=io_workers) as pool:
         for det_num in dets:
+            # backpressure: never hold more than 2*io_workers pending
+            # CCD outputs in memory
+            while len(futures) >= 2 * io_workers:
+                futures.pop(0).result()
             result = render_one_ccd(ctx, det_num, logger, write=False)
             prepare_readout(ctx, result)          # device, main thread
-            futures.append(pool.submit(write_outputs, ctx, result,
-                                       logger))
+            futures.append(pool.submit(write_and_release, result))
             results.append(result)
         for f in futures:
             f.result()                            # propagate IO errors
