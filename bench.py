@@ -66,8 +66,6 @@ def build_synthetic_host(fac, ccd, n_obj=100_000, total_photons=1.0e8,
 
 
 def main():
-    from functools import partial
-
     from imsim_tpu.electronics.camera import get_camera
     from imsim_tpu.image.ccd_render import _add_sky_and_noise
     from imsim_tpu.image.photon_pooling import (batch_from_obj_map,
@@ -80,7 +78,6 @@ def main():
                                           second_kick_table)
     from imsim_tpu.sensor.silicon import SiliconParams, accumulate_silicon
     from imsim_tpu.sensor.treerings import TreeRings
-    from imsim_tpu.utils.lookup import UniformTable
 
     DEG = np.pi / 180
     fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")

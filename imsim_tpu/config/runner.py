@@ -509,7 +509,7 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
     out_cfg0 = cfg.get("output", {})
     cr_rate = float(out_cfg0.get("cosmic_ray_rate", 0.0))
     if cr_rate > 0:
-        from ..image.cosmic_rays import PIXEL_CM, CosmicRayCatalog
+        from ..image.cosmic_rays import CosmicRayCatalog
 
         catalog = None
         cat_path = out_cfg0.get("cosmic_ray_catalog")

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import special as _sp
 
-from .camera import CCD, AMP_NAMES, VENDOR_SPECS
+from .camera import CCD, VENDOR_SPECS
 
 
 def cte_matrix(npix: int, cti: float, ntransfers: int = 20) -> np.ndarray:
