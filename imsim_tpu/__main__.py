@@ -30,17 +30,23 @@ def main(argv=None):
     logger = logging.getLogger("imsim_tpu")
 
     from .config.runner import build_visit_context, load_config, \
-        render_one_ccd, _det_list
+        render_one_ccd, run_visit, _det_list
     from .utils.process_info import stage_profile
 
     cfg = load_config(args.config, args.overrides)
     t0 = time.time()
-    ctx = build_visit_context(cfg, logger)
-    logger.info("visit context built in %.1fs", time.time() - t0)
-    for det_num in _det_list(ctx):
-        with stage_profile(f"det {det_num}", logger,
-                           enabled=args.profile):
-            render_one_ccd(ctx, det_num, logger)
+    if int((cfg.get("output", {}) or {}).get("io_workers", 0)) > 0:
+        # pipelined output path (render k+1 while writing k) lives in
+        # run_visit; per-detector profiling is coarser there
+        with stage_profile("visit", logger, enabled=args.profile):
+            run_visit(args.config, args.overrides, logger=logger)
+    else:
+        ctx = build_visit_context(cfg, logger)
+        logger.info("visit context built in %.1fs", time.time() - t0)
+        for det_num in _det_list(ctx):
+            with stage_profile(f"det {det_num}", logger,
+                               enabled=args.profile):
+                render_one_ccd(ctx, det_num, logger)
     logger.info("visit complete in %.1fs", time.time() - t0)
     return 0
 

@@ -192,3 +192,40 @@ def test_image_nobjects_cap(tmp_path, instcat, sed_dir):
             "image.nbatch=2",
         ])
     assert results[0]["host"].n_objects == 3
+
+
+def test_cli_main(tmp_path, instcat, sed_dir):
+    """The `python -m imsim_tpu` entry runs a visit from a YAML file
+    with dotted overrides and --profile (doc/usage.rst:9-16 analog)."""
+    import yaml
+
+    from imsim_tpu.__main__ import main
+
+    out = str(tmp_path / "out")
+    user = tmp_path / "user.yaml"
+    user.write_text(yaml.safe_dump({
+        "template": "imsim-config-instcat",
+        "input.instance_catalog.file_name": instcat,
+        "input.instance_catalog.sed_dir": sed_dir,
+        "psf.type": "DoubleGaussianPSF",
+        "image.sky_level": 0,
+        "image.nobjects": 2,
+        "image.batch_size": 50000,
+        "image.nbatch": 2,
+        "output.readout.enabled": False,
+        "output.cosmic_ray_rate": 0.0,
+    }))
+    rc = main([str(user), f"output.dir={out}", "output.det_num=[94]",
+               "--profile", "-q"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out,
+                                       "eimage_4242-r-R22_S11.fits"))
+    # pipelined branch reachable from the CLI; per-detector default
+    # names cannot collide across worker threads
+    out2 = str(tmp_path / "out2")
+    rc = main([str(user), f"output.dir={out2}",
+               "output.det_num=[93, 94]", "output.io_workers=1", "-q"])
+    assert rc == 0
+    for det in ("R22_S10", "R22_S11"):
+        assert os.path.exists(os.path.join(
+            out2, f"eimage_4242-r-{det}.fits"))
