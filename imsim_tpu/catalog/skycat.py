@@ -66,10 +66,12 @@ class SkyCatalogInterface:
         if self.columns:
             self.cols.update(self.columns)
 
-    def _get(self, name, default=None):
-        col = self.cols.get(name)
-        if col and col in self.df.columns:
-            return self.df[col].to_numpy()
+    def _get(self, name, default=None, df=None, cols=None):
+        df = self.df if df is None else df
+        cols = self.cols if cols is None else cols
+        col = cols.get(name)
+        if col and col in df.columns:
+            return df[col].to_numpy()
         return default
 
     def _expand_components(self):
@@ -87,21 +89,32 @@ class SkyCatalogInterface:
 
         Flux split: bulge_frac of the total to the bulge; the rest to
         disk*(1 - knots_flux_ratio) and knots.  magnorm is adjusted by
-        -2.5 log10(frac) per component row.
+        -2.5 log10(frac) per component row.  A component whose nominal
+        fraction is positive but which cannot be built (size<=0, or
+        n_knots<1 for knots) has its share folded back into the row's
+        buildable components (renormalized), matching the reference's
+        behavior of only carving out flux for components it actually
+        builds — no flux is silently dropped.
+
+        Pure: returns ``(df, cols)`` without mutating ``self`` (the
+        expanded frame carries ``*_expanded`` columns that the returned
+        mapping routes to), so repeated ``to_object_table`` calls never
+        re-expand already-expanded rows.
         """
         import pandas as pd
 
         df = self.df
+        cols = dict(self.cols)
         if "size_bulge_true" not in df.columns and \
                 "size_disk_true" not in df.columns:
-            return df
+            return df, cols
         kind = np.array([str(k).lower() for k in
                          self._get("obj_kind",
                                    np.array(["star"] * len(df), object))],
                         object)
         gal = kind == "galaxy"
         if not gal.any():
-            return df
+            return df, cols
         base = df[~gal]
         g = df[gal]
 
@@ -112,18 +125,27 @@ class SkyCatalogInterface:
         bulge_frac = np.clip(col("bulge_frac", 0.0), 0.0, 1.0)
         knots_ratio = np.clip(col("knots_flux_ratio", 0.0), 0.0, 1.0)
         n_knots = col("n_knots", 0.0)
+        size_bulge = col("size_bulge_true", 0.0)
+        size_disk = col("size_disk_true", 0.0)
+        # nominal split → zero out unbuildable components → renormalize
+        # so the dropped share flows to the survivors.
+        f_bulge = bulge_frac * (size_bulge > 0)
+        f_disk = (1 - bulge_frac) * (1 - knots_ratio) * (size_disk > 0)
+        f_knots = ((1 - bulge_frac) * knots_ratio
+                   * ((size_disk > 0) & (n_knots >= 1)))
+        total = f_bulge + f_disk + f_knots
+        scale = np.where(total > 0, 1.0 / np.maximum(total, 1e-12), 0.0)
         rows = []
         specs = [
-            ("bulge", bulge_frac, "size_bulge_true",
+            ("bulge", f_bulge * scale, "size_bulge_true",
              "size_minor_bulge_true", col("sersic_bulge", 4.0), None),
-            ("disk", (1 - bulge_frac) * (1 - knots_ratio),
-             "size_disk_true", "size_minor_disk_true",
-             col("sersic_disk", 1.0), None),
-            ("knots", (1 - bulge_frac) * knots_ratio, "size_disk_true",
+            ("disk", f_disk * scale, "size_disk_true",
+             "size_minor_disk_true", col("sersic_disk", 1.0), None),
+            ("knots", f_knots * scale, "size_disk_true",
              "size_minor_disk_true", None, n_knots),
         ]
-        mag = (g[self.cols["magnorm"]].to_numpy(float)
-               if self.cols["magnorm"] in g.columns
+        mag = (g[cols["magnorm"]].to_numpy(float)
+               if cols["magnorm"] in g.columns
                else np.full(len(g), 25.0))
         for cname, frac, scol, smcol, sersic, nk in specs:
             size = col(scol, 0.0)
@@ -147,32 +169,35 @@ class SkyCatalogInterface:
                 np.maximum(frac[keep], 1e-12))
             rows.append(sub)
         if not rows:
-            return df
+            return df, cols
         out = pd.concat([base] + rows, ignore_index=True)
         # route the mapped columns at the expanded names
-        self.cols = dict(self.cols)
         for key, newcol in (("obj_kind", "object_type_expanded"),
                             ("hlr", "size_true_expanded"),
                             ("q", "axis_ratio_expanded"),
                             ("sersic", "sersic_expanded"),
                             ("magnorm", "magnorm_expanded")):
-            old = self.cols.get(key)
+            old = cols.get(key)
             fallback = out[old] if old in out.columns else np.nan
             out[newcol] = out[newcol].where(out[newcol].notna(),
                                             fallback) \
                 if newcol in out.columns else fallback
-            self.cols[key] = newcol
-        return out
+            cols[key] = newcol
+        return out, cols
 
     def to_object_table(self, wcs=None, xsize=4096, ysize=4096,
                         edge_pix=100, logger=None) -> ObjectTable:
         """Polygon-region cull (the pixel-box equivalent of
         skycat.py:88-107) + schema conversion."""
-        self.df = self._expand_components()
-        n = len(self.df)
-        ra = self._get("ra") * DEG
-        dec = self._get("dec") * DEG
-        kind = self._get("obj_kind", np.array(["star"] * n, object))
+        df, cols = self._expand_components()
+        n = len(df)
+
+        def get(name, default=None):
+            return self._get(name, default, df=df, cols=cols)
+
+        ra = get("ra") * DEG
+        dec = get("dec") * DEG
+        kind = get("obj_kind", np.array(["star"] * n, object))
         kind = np.array([str(k).lower() for k in kind], object)
         if self.obj_types:
             keep_kind = np.isin(kind, [k.lower() for k in self.obj_types])
@@ -181,23 +206,23 @@ class SkyCatalogInterface:
 
         obj_type = np.where(kind == "galaxy", SERSIC,
                             np.where(kind == "knots", KNOTS, POINT))
-        hlr = self._get("hlr", np.zeros(n))
-        sersic = self._get("sersic", np.ones(n))
-        q = self._get("q", np.ones(n))
-        beta = self._get("beta", np.zeros(n)) * DEG
-        g1 = self._get("g1", np.zeros(n))
-        g2 = self._get("g2", np.zeros(n))
-        kappa = self._get("kappa", np.zeros(n))
+        hlr = get("hlr", np.zeros(n))
+        sersic = get("sersic", np.ones(n))
+        q = get("q", np.ones(n))
+        beta = get("beta", np.zeros(n)) * DEG
+        g1 = get("g1", np.zeros(n))
+        g2 = get("g2", np.zeros(n))
+        kappa = get("kappa", np.zeros(n))
         g1r = g1 / (1.0 - kappa)
         g2r = g2 / (1.0 - kappa)
         mu = 1.0 / np.maximum((1.0 - kappa) ** 2 - (g1**2 + g2**2), 1e-6)
 
-        sed = self._get("sed", np.array(["flatSED/sed_flat.txt"] * n,
-                                        object))
+        sed = get("sed", np.array(["flatSED/sed_flat.txt"] * n,
+                                  object))
         tab = ObjectTable(
-            id=np.asarray(self._get("id", np.arange(n)), object),
+            id=np.asarray(get("id", np.arange(n)), object),
             ra=ra, dec=dec, x=np.zeros(n), y=np.zeros(n),
-            magnorm=np.asarray(self._get("magnorm", np.full(n, 25.0)),
+            magnorm=np.asarray(get("magnorm", np.full(n, 25.0)),
                                float),
             obj_type=obj_type.astype(np.int32),
             p0=np.asarray(hlr, float),
@@ -209,10 +234,10 @@ class SkyCatalogInterface:
             p3=np.asarray(beta, float),
             g1=g1r, g2=g2r, mu=mu,
             sed_name=np.asarray(sed, object),
-            redshift=np.asarray(self._get("redshift", np.zeros(n)), float),
+            redshift=np.asarray(get("redshift", np.zeros(n)), float),
             int_av=np.zeros(n), int_rv=np.full(n, 3.1),
-            mw_av=np.asarray(self._get("mw_av", np.zeros(n)), float),
-            mw_rv=np.asarray(self._get("mw_rv", np.full(n, 3.1)), float),
+            mw_av=np.asarray(get("mw_av", np.zeros(n)), float),
+            mw_rv=np.asarray(get("mw_rv", np.full(n, 3.1)), float),
             image_file=np.array([""] * n, object),
         )
         tab = tab.select(keep_kind)

@@ -44,7 +44,7 @@ def cte_matrix(npix: int, cti: float, ntransfers: int = 20) -> np.ndarray:
     return M
 
 
-def cte_bands(npix: int, cti: float, nband: int = 6) -> np.ndarray:
+def cte_bands(npix: int, cti: float, nband: int = None) -> np.ndarray:
     """(nband+1, npix) banded form of cte_matrix: bands[k, p] = M[p, p-k].
 
     The CTI matrix is a lower-triangular band whose width shrinks
@@ -52,7 +52,21 @@ def cte_bands(npix: int, cti: float, nband: int = 6) -> np.ndarray:
     term is < 1e-12 relative), so the readout applies it as nband+1
     per-row multiply-adds of shifted slices instead of a dense
     npix^2 matmul — same result to f32 precision at a tiny fraction of
-    the flops/memory (measured equivalence in tests/test_readout.py)."""
+    the flops/memory (measured equivalence in tests/test_readout.py).
+
+    nband=None (default) sizes the band from npix*cti at construction:
+    grow until the next term's bound (npix*cti)^k / k! drops below f32
+    epsilon relative to the diagonal, so user-configured cti values far
+    above the nominal ~1e-6 (e.g. 1e-4 on 2050-pixel transfers, where
+    npix*cti ~ 0.2 keeps terms alive past band 6) still match the
+    dense matrix instead of silently truncating."""
+    if nband is None:
+        x = npix * abs(cti)
+        nband, term = 1, x
+        while term > 1.2e-7 and nband < npix - 1:
+            nband += 1
+            term *= x / nband
+        nband = max(nband, 2)
     i = np.arange(1, npix + 1, dtype=np.float64)
     bands = np.zeros((nband + 1, npix))
     bands[0] = (1.0 - cti) ** i

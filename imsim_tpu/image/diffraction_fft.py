@@ -68,9 +68,13 @@ def calibrate_spike_profile(wavelength_nm: float = 622.0,
     for s in np.geomspace(0.5, 30.0, 40):
         X = np.log1p((centers[good] / s) ** 2)
         A = np.vstack([np.ones_like(X), -X]).T
-        coef, res, *_ = np.linalg.lstsq(A, np.log(dens[good]),
-                                        rcond=None)
-        r2 = float(res[0]) if len(res) else 0.0
+        b = np.log(dens[good])
+        coef, _, _, _ = np.linalg.lstsq(A, b, rcond=None)
+        # compute the residual explicitly: lstsq returns an EMPTY
+        # residual array for rank-deficient designs or <= 2 usable
+        # bins, and treating that as 0.0 would make a degenerate fit
+        # win the grid search
+        r2 = float(np.sum((A @ coef - b) ** 2)) if len(b) > 2 else np.inf
         if best is None or r2 < best[0]:
             best = (r2, s, coef[1])
     return dict(fraction=fraction, r_scale_px=float(best[1]),

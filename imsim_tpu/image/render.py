@@ -216,7 +216,7 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
                exptime: float = 30.0, pupil_radius: float = 4.18,
                pupil_obscuration: float = 0.612,
                row: jax.Array = None,
-               pupil_pairing: int = 4,
+               pupil_pairing: int = 1,
                chromatic_exponent: float = 0.0,
                wl_ref: float = 622.0) -> PhotonBatch:
     """Full physics chain for a pooled batch: the per-photon equivalent of
@@ -230,13 +230,18 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
         + DCR + spider diffraction + raytrace + silicon refraction
                                                         [photons.optics_ops]
 
-    Pupil/time sampling uses BLOCK ANTITHETIC PAIRING: the `pair` slots
-    {s, s+m, ..} (m = n/pair) share one (pupil point, arrival time)
-    draw and one phase-screen gather — by construction of the pooled
-    block layout (photon_pooling.build_obj_map) those slots hold
-    ADJACENT global photons, i.e. almost always the same object, so the
-    pair's field angles agree to the profile-offset scale (< 0.1 m at
-    the highest screen layer).  Each photon keeps its own wavelength,
+    With ``pupil_pairing > 1``, pupil/time sampling uses BLOCK
+    ANTITHETIC PAIRING: the `pair` slots {s, s+m, ..} (m = n/pair)
+    share one (pupil point, arrival time) draw and one phase-screen
+    gather.  This is ONLY valid when obj_idx/row come from the pooled
+    block-paired layout (photon_pooling.build_obj_map with matching
+    pair): that layout puts ADJACENT global photons in those slots,
+    i.e. almost always the same object, so the pair's field angles
+    agree to the profile-offset scale (< 0.1 m at the highest screen
+    layer).  The default is the always-correct pair=1; the pooled path
+    passes its configured pairing explicitly.  With an arbitrary
+    layout and pair>1, screen kicks would be evaluated at the wrong
+    objects' field angles for (pair-1)/pair of the photons.  Each photon keeps its own wavelength,
     profile offset, DCR, diffraction draw and sensor randomness, so
     per-pixel statistics stay Poisson-consistent.  The block layout
     makes every pairing op FREE on TPU: member 0 is the contiguous

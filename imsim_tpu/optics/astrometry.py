@@ -3,15 +3,38 @@
 Replaces the erfa C routines the reference calls for its WCS frames
 (imsim/batoid_wcs.py:118-243 uses erfa.atco13/atoc13: precession-nutation,
 annual+diurnal aberration, atmospheric refraction).  Implemented from the
-standard series (IAU 2006 precession polynomials, dominant nutation
-terms, two-term tan z refraction with the full wavelength/pressure/
-temperature dependence).  Accuracy ~0.1-0.5 arcsec absolute — far inside
-what an image *simulator* needs (the sky truth and the WCS written to
-disk use the same chain, so they are consistent to float64) — and the
-refraction derivative vs wavelength (what DCR cares about) is exact.
+published series:
 
-All angles radians, times MJD (UTC ~ TT for our purposes; the <70 s
-difference contributes < 0.03 arcsec via precession rates).
+  * precession: Capitaine et al. (2003) IAU 2006 equatorial angles
+    zeta/z/theta referred to the GCRS — the constant terms carry the
+    ICRS frame bias, so one rotation covers bias+precession;
+  * nutation: the leading terms of the IAU 2000B series (all terms with
+    |A_psi| >= ~6 mas, with their T-rates), Delaunay arguments from the
+    IAU 2000 polynomials; truncation residual ~15 mas RSS in dpsi
+    (~6 mas on the sky);
+  * annual aberration: exact two-body heliocentric Earth velocity
+    (equation-of-center true longitude, eccentricity-exact direction)
+    + Earth-about-EMB (Moon) + Sun-about-barycenter (Jupiter, Saturn)
+    terms, expressed in the ICRF frame; first-order v/c application
+    (second order ~ 2 mas is neglected);
+  * diurnal aberration (0.32 arcsec at the Rubin site) in the
+    true-of-date frame;
+  * refraction: two-term tan z with the full wavelength/pressure/
+    temperature dependence via the Edlen air index (the derivative vs
+    wavelength — what DCR cares about — is exact).
+
+Absolute accuracy vs a full ephemeris chain: ~30-50 mas, dominated by
+nutation truncation and the simplified planetary barycenter terms —
+*plus* the Earth-orientation unknowables shared with any offline chain:
+UT1-UTC (|dUT1| < 0.9 s; a pure hour-angle rotation of up to ~13
+arcsec; pass `dut1` if IERS data is available — the reference runs with
+IERS downloads disabled, imsim/utils.py:19-28, so it carries the same
+term) and polar motion (< 0.3 arcsec, not modeled).  The sky truth and
+the WCS written to disk use this same chain, so simulated data remain
+self-consistent to float64 regardless; see docs/astrometry.md.
+
+All angles radians, times MJD (UTC ~ TT for series arguments; the <70 s
+difference contributes < 0.1 mas via the argument rates).
 """
 from __future__ import annotations
 

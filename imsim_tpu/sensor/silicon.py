@@ -179,8 +179,11 @@ def displacement_field(image, params: SiliconParams):
 
     TPU note: a 1-channel NHWC conv gets its channel dim padded to the
     128-lane register width by XLA — a 9x9 SAME conv on a 4k x 4k image
-    tried to allocate ~8 GB of HBM temp.  Instead the small-kernel conv
-    is unrolled into shifted-slice adds over one padded copy (pure VPU
+    tried to allocate ~8 GB of HBM temp.  On the TPU backend this runs
+    as the Pallas row-tiled VMEM stencil (ops/stencil.py: both outputs
+    share every input tap, one HBM read + two writes; ~10x the XLA
+    shifted-slice formulation).  Elsewhere the small-kernel conv is
+    unrolled into shifted-slice adds over one padded copy (pure VPU
     elementwise, fuses into a single pass, zero temp beyond the pad)."""
     K = params.bf_kernel  # (2R+1, 2R+1)
     k = K.shape[0]
@@ -189,6 +192,9 @@ def displacement_field(image, params: SiliconParams):
     Kp = jnp.pad(K, 1)
     dKx = 0.5 * (Kp[1:-1, 2:] - Kp[1:-1, :-2])   # (k, k) + support 1 wider
     dKy = 0.5 * (Kp[2:, 1:-1] - Kp[:-2, 1:-1])
+    from ..ops import stencil
+    if stencil.supports(image):
+        return stencil.stencil_pair(image, dKx, dKy)
     H, W = image.shape
     pad = R + 1
     P = jnp.pad(image, pad)

@@ -136,6 +136,59 @@ def test_skycat_multicomponent_galaxy(tmp_path):
     srow = np.nonzero(tab.obj_type == POINT)[0][0]
     assert abs(tab.magnorm[srow] - 21.0) < 1e-6
 
+    # idempotent: repeated calls on the SAME interface must not
+    # re-expand the already-expanded component rows (ADVICE r2)
+    tab2 = cat.to_object_table()
+    assert len(tab2) == len(tab)
+    np.testing.assert_allclose(np.sort(tab2.magnorm),
+                               np.sort(tab.magnorm), rtol=0, atol=1e-12)
+    tab3 = cat.to_object_table()
+    assert len(tab3) == len(tab)
+
+
+def test_skycat_dropped_component_flux_redistributed(tmp_path):
+    """A component with a positive nominal flux share that cannot be
+    built (n_knots<1, or size<=0) must fold its share back into the
+    surviving components instead of silently dropping it (ADVICE r2):
+    the reference only carves out flux for components it actually
+    builds (imsim/skycat.py:147-203)."""
+    import pandas as pd
+
+    df = pd.DataFrame(dict(
+        id=[1, 2],
+        ra=[30.0, 30.001], dec=[-20.0, -20.001],
+        magnorm=[22.0, 23.0],
+        object_type=["galaxy", "galaxy"],
+        sed_filepath=["flatSED/sed_flat.txt"] * 2,
+        redshift=[0.5, 0.4],
+        # gal 1: knots_flux_ratio > 0 but n_knots = 0 -> knots share
+        # must flow back to the disk
+        # gal 2: bulge_frac > 0 but size_bulge_true = 0 -> bulge share
+        # must flow to the disk
+        size_bulge_true=[0.4, 0.0],
+        size_minor_bulge_true=[0.3, 0.0],
+        sersic_bulge=[4.0, 4.0],
+        size_disk_true=[1.2, 0.9],
+        size_minor_disk_true=[0.6, 0.9],
+        sersic_disk=[1.0, 1.0],
+        bulge_frac=[0.3, 0.5],
+        knots_flux_ratio=[0.2, 0.0],
+        n_knots=[0, 0],
+        shear_1=[0.0, 0.0], shear_2=[0.0, 0.0],
+        convergence=[0.0, 0.0],
+    ))
+    p = tmp_path / "cat.parquet"
+    df.to_parquet(p)
+    tab = SkyCatalogInterface(str(p)).to_object_table()
+    # gal 1 -> bulge + disk (no knots row); gal 2 -> disk only
+    assert len(tab) == 3
+    assert np.all(tab.obj_type == SERSIC)
+    for gid, base_mag in ((1, 22.0), (2, 23.0)):
+        rows = np.array([str(i) == str(gid) for i in tab.id])
+        fracs = 10 ** (-0.4 * (tab.magnorm[rows] - base_mag))
+        # total flux conserved: dropped component shares were folded in
+        assert abs(fracs.sum() - 1.0) < 1e-9, (gid, fracs)
+
 
 def test_flat_photon_shooting_sed_path():
     """The SED photon-shooting flat (imsim/flat.py:239-264 branch):

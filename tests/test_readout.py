@@ -144,3 +144,28 @@ def test_cte_bands_match_dense_matrix():
         rel_s = np.abs(banded_s - dense_s) / np.maximum(np.abs(dense_s),
                                                         1.0)
         assert rel_s.max() < 2e-6, rel_s.max()
+
+
+def test_cte_bands_adaptive_width_high_cti():
+    """cte_bands sizes its band from npix*cti (ADVICE r2): a
+    user-configured cti ~ 1e-4 on ~2000-pixel transfers (npix*cti ~ 0.2)
+    needs more than the nominal-regime 6 bands to match the dense
+    matrix at f32 precision."""
+    import jax.numpy as jnp
+
+    from imsim_tpu.electronics.readout import apply_cte_bands, cte_bands
+
+    rng = np.random.default_rng(1)
+    n, cti = 1000, 5e-4                      # npix*cti = 0.5
+    bands = cte_bands(n, cti)
+    assert bands.shape[0] > 7, bands.shape   # grew beyond the old fixed 6
+    M = cte_matrix(n, cti, ntransfers=40)    # effectively untruncated
+    x = rng.uniform(0, 1e5, (2, n, 16))
+    dense = np.einsum("pq,aqx->apx", M, x)
+    banded = np.asarray(apply_cte_bands(
+        jnp.asarray(x, jnp.float32), jnp.asarray(bands, jnp.float32),
+        axis=1))
+    rel = np.abs(banded - dense) / np.maximum(np.abs(dense), 1.0)
+    assert rel.max() < 5e-6, rel.max()
+    # nominal regime still gets a small band
+    assert cte_bands(2050, 1e-6).shape[0] <= 5

@@ -129,3 +129,24 @@ def test_absorption_poly_matches_table():
     uv = np.asarray(absorption_length_poly(
         jnp.asarray(np.linspace(300.0, 430.0, 50), jnp.float32)))
     assert uv.max() < 0.5
+
+
+def test_pallas_stencil_matches_xla_displacement_field():
+    """The Pallas row-tiled stencil (ops/stencil.py) must reproduce the
+    XLA shifted-slice displacement field bit-for-bit-ish (same f32
+    contraction order per output row): run it in interpreter mode on
+    the CPU backend against the silicon module's fallback path."""
+    from imsim_tpu.ops.stencil import stencil_pair
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1e5, (256, 512)), jnp.float32)
+    params = si.SiliconParams.make()
+    K = params.bf_kernel
+    Kp = jnp.pad(K, 1)
+    dKx = 0.5 * (Kp[1:-1, 2:] - Kp[1:-1, :-2])
+    dKy = 0.5 * (Kp[2:, 1:-1] - Kp[:-2, 1:-1])
+    px, py = stencil_pair(img, dKx, dKy, interpret=True)
+    xx, xy = si.displacement_field(img, params)  # XLA path on CPU
+    scale = float(jnp.max(jnp.abs(xx)))
+    assert float(jnp.max(jnp.abs(px - xx))) < 1e-5 * scale
+    assert float(jnp.max(jnp.abs(py - xy))) < 1e-5 * scale
