@@ -21,6 +21,13 @@ def main(argv=None):
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="log per-detector wall time + peak RSS")
+    p.add_argument("--visits", default=None,
+                   help="comma-separated opsim visit ids (or a:b range) "
+                        "to render in sequence; overrides "
+                        "input.opsim_data.visit per visit.  Compiled "
+                        "kernels are reused across visits (static "
+                        "shapes), so visit 2+ skips all XLA compiles — "
+                        "the DC2-style batch-production mode")
     args = p.parse_args(argv)
 
     level = logging.WARNING if args.quiet else (
@@ -33,21 +40,39 @@ def main(argv=None):
         render_one_ccd, run_visit, _det_list
     from .utils.process_info import stage_profile
 
-    cfg = load_config(args.config, args.overrides)
-    t0 = time.time()
-    if int((cfg.get("output", {}) or {}).get("io_workers", 0)) > 0:
-        # pipelined output path (render k+1 while writing k) lives in
-        # run_visit; per-detector profiling is coarser there
-        with stage_profile("visit", logger, enabled=args.profile):
-            run_visit(args.config, args.overrides, logger=logger)
+    if args.visits:
+        if ":" in args.visits:
+            a, b = args.visits.split(":")
+            visit_ids = list(range(int(a), int(b)))
+        else:
+            visit_ids = [int(v) for v in args.visits.split(",")]
     else:
-        ctx = build_visit_context(cfg, logger)
-        logger.info("visit context built in %.1fs", time.time() - t0)
-        for det_num in _det_list(ctx):
-            with stage_profile(f"det {det_num}", logger,
-                               enabled=args.profile):
-                render_one_ccd(ctx, det_num, logger)
-    logger.info("visit complete in %.1fs", time.time() - t0)
+        visit_ids = [None]
+
+    t0 = time.time()
+    for visit in visit_ids:
+        overrides = list(args.overrides)
+        if visit is not None:
+            overrides.append(f"input.opsim_data.visit={visit}")
+        cfg = load_config(args.config, overrides)
+        tv = time.time()
+        if int((cfg.get("output", {}) or {}).get("io_workers", 0)) > 0:
+            # pipelined output path (render k+1 while writing k) lives in
+            # run_visit; per-detector profiling is coarser there
+            with stage_profile("visit", logger, enabled=args.profile):
+                run_visit(args.config, overrides, logger=logger)
+        else:
+            ctx = build_visit_context(cfg, logger)
+            logger.info("visit context built in %.1fs", time.time() - tv)
+            for det_num in _det_list(ctx):
+                with stage_profile(f"det {det_num}", logger,
+                                   enabled=args.profile):
+                    render_one_ccd(ctx, det_num, logger)
+        if visit is not None:
+            logger.info("visit %s complete in %.1fs", visit,
+                        time.time() - tv)
+    logger.info("%d visit(s) complete in %.1fs", len(visit_ids),
+                time.time() - t0)
     return 0
 
 

@@ -65,30 +65,85 @@ def gmst(mjd):
     return (g % 360.0) * DEG
 
 
-def nutation(mjd):
-    """Dominant nutation terms: (dpsi, deps) [rad] (~0.1 arcsec acc.)."""
+def delaunay_args(mjd):
+    """Fundamental lunisolar (Delaunay) arguments l, l', F, D, Om [rad]
+    (IAU 2000 polynomials, linear + quadratic terms)."""
     t = _jc(mjd)
-    om = (125.04452 - 1934.136261 * t) * DEG       # lunar node
-    L = (280.4665 + 36000.7698 * t) * DEG          # mean sun
-    Lp = (218.3165 + 481267.8813 * t) * DEG        # mean moon
-    dpsi = (-17.20 * np.sin(om) - 1.32 * np.sin(2 * L)
-            - 0.23 * np.sin(2 * Lp) + 0.21 * np.sin(2 * om)) * ARCSEC
-    deps = (9.20 * np.cos(om) + 0.57 * np.cos(2 * L)
-            + 0.10 * np.cos(2 * Lp) - 0.09 * np.cos(2 * om)) * ARCSEC
-    return dpsi, deps
+    l = (134.96340251 + (1717915923.2178 * t + 31.8792 * t * t)
+         / 3600.0) * DEG
+    lp = (357.52910918 + (129596581.0481 * t - 0.5532 * t * t)
+          / 3600.0) * DEG
+    F = (93.27209062 + (1739527262.8478 * t - 12.7512 * t * t)
+         / 3600.0) * DEG
+    D = (297.85019547 + (1602961601.2090 * t - 6.3706 * t * t)
+         / 3600.0) * DEG
+    om = (125.04455501 + (-6962890.5431 * t + 7.4722 * t * t)
+          / 3600.0) * DEG
+    return l, lp, F, D, om
+
+
+# IAU 2000B nutation series, leading terms (|A_psi| >~ 6 mas).
+# Columns: l, l', F, D, Om multipliers; A_psi, A_psi*T [mas, mas/cy];
+# B_eps, B_eps*T.  Truncation residual ~15 mas RSS in dpsi.
+_NUT_TERMS = np.array([
+    # l  l'  F  D  Om      A_psi     A_psi_t   B_eps     B_eps_t
+    (0,  0,  0,  0,  1, -17206.4161, -17.4666, 9205.2331,  0.9086),
+    (0,  0,  2, -2,  2,  -1317.0906,  -0.1675,  573.0336, -0.3015),
+    (0,  0,  2,  0,  2,   -227.6413,  -0.0234,   97.8459, -0.0485),
+    (0,  0,  0,  0,  2,    207.4554,   0.0207,  -89.7492,  0.0470),
+    (0,  1,  0,  0,  0,    147.5877,  -0.3633,    7.3871, -0.0184),
+    (0,  1,  2, -2,  2,    -51.6821,   0.1226,   22.4386, -0.0677),
+    (1,  0,  0,  0,  0,     71.1159,   0.0073,   -0.6750,  0.0000),
+    (0,  0,  2,  0,  1,    -38.7298,  -0.0367,   20.0728,  0.0018),
+    (1,  0,  2,  0,  2,    -30.1461,  -0.0036,   12.9025, -0.0063),
+    (0, -1,  2, -2,  2,     21.5829,  -0.0494,   -9.5929,  0.0299),
+    (0,  0,  2, -2,  1,     12.8227,   0.0137,   -6.8982, -0.0009),
+    (-1, 0,  2,  0,  2,     12.3457,   0.0011,   -5.3311,  0.0032),
+    (-1, 0,  0,  2,  0,     15.6994,   0.0010,   -0.1235,  0.0000),
+    (1,  0,  0,  0,  1,      6.3110,   0.0063,   -3.3228,  0.0000),
+    (-1, 0,  0,  0,  1,     -5.7976,  -0.0063,    3.1429,  0.0000),
+    (-1, 0,  2,  2,  2,     -5.9641,  -0.0011,    2.5543, -0.0011),
+    (1,  0,  2,  0,  1,     -5.1613,  -0.0042,    2.6366,  0.0000),
+    (-2, 0,  2,  0,  1,      4.5893,   0.0050,   -2.4236, -0.0010),
+    (0,  0,  0,  2,  0,      6.3384,   0.0011,   -0.1220,  0.0000),
+    (0,  0,  2,  2,  2,     -3.8571,  -0.0001,    1.6452, -0.0011),
+], dtype=np.float64)
+
+
+def nutation(mjd):
+    """IAU 2000B leading-terms nutation: (dpsi, deps) [rad]."""
+    t = _jc(mjd)
+    args = np.array(delaunay_args(mjd))
+    mult = _NUT_TERMS[:, :5]
+    phase = mult @ args
+    dpsi = np.sum((_NUT_TERMS[:, 5] + _NUT_TERMS[:, 6] * t)
+                  * np.sin(phase))
+    deps = np.sum((_NUT_TERMS[:, 7] + _NUT_TERMS[:, 8] * t)
+                  * np.cos(phase))
+    MAS = ARCSEC / 1000.0
+    return dpsi * MAS, deps * MAS
 
 
 def mean_obliquity(mjd):
+    """IAU 2006 mean obliquity of the ecliptic [rad]."""
     t = _jc(mjd)
-    return (23.439291111 - 0.0130041667 * t - 1.639e-7 * t * t) * DEG
+    return ((84381.406 - 46.836769 * t - 0.0001831 * t * t
+             + 0.00200340 * t**3) * ARCSEC)
 
 
 def precession_matrix(mjd):
-    """ICRF/J2000 -> mean-of-date rotation (IAU 2006 zeta/z/theta)."""
+    """ICRS/GCRS -> mean-of-date rotation.
+
+    Capitaine et al. (2003) IAU 2006 equatorial precession angles
+    referred to the GCRS: the +-2.650545 arcsec constant terms carry the
+    ICRS frame bias, so this single rotation is bias+precession."""
     t = _jc(mjd)
-    zeta = (2306.2181 * t + 0.30188 * t * t + 0.017998 * t**3) * ARCSEC
-    z = (2306.2181 * t + 1.09468 * t * t + 0.018203 * t**3) * ARCSEC
-    theta = (2004.3109 * t - 0.42665 * t * t - 0.041833 * t**3) * ARCSEC
+    zeta = (2.650545 + 2306.083227 * t + 0.2988499 * t * t
+            + 0.01801828 * t**3) * ARCSEC
+    z = (-2.650545 + 2306.077181 * t + 1.0927348 * t * t
+         + 0.01826837 * t**3) * ARCSEC
+    theta = (2004.191903 * t - 0.4294934 * t * t
+             - 0.04182264 * t**3) * ARCSEC
     return _rz(-z) @ _ry(theta) @ _rz(-zeta)
 
 
@@ -124,30 +179,58 @@ def gast(mjd):
 
 
 def earth_velocity(mjd):
-    """Earth barycentric velocity [unit: fraction of c] in ICRF
-    equatorial frame (circular+eccentric orbit approximation; annual
-    aberration constant 20.49 arcsec, accurate to ~0.3 arcsec)."""
+    """Earth barycentric velocity / c in the *equatorial-of-date* frame.
+
+    Three components (erfa epv00 analog, simplified):
+      1. heliocentric EMB velocity: exact two-body ellipse — true
+         longitude from the equation of center, direction carries the
+         eccentricity term via the longitude of perihelion (exact in e
+         for a Kepler orbit; Meeus ch. 25 elements);
+      2. Earth about the Earth-Moon barycenter (12.4 m/s, ~8.6 mas);
+      3. Sun about the solar-system barycenter: Jupiter and Saturn
+         reflex terms (12.5 + 2.8 m/s, ~10 mas combined).
+    Residual vs a full ephemeris ~3 mas (lunar eccentricity, Uranus/
+    Neptune/Venus reflex, planetary perturbations of the EMB orbit).
+
+    Rotate by icrf2tod.T for the ICRF components used in aberration.
+    """
     t = _jc(mjd)
-    # mean longitude & anomaly of the sun
-    L = (280.46646 + 36000.76983 * t) * DEG
-    M = (357.52911 + 35999.05029 * t) * DEG
+    C_LIGHT = 2.99792458e8
+
+    # --- heliocentric EMB: exact ellipse -----------------------------
+    L = (280.46646 + 36000.76983 * t) * DEG       # sun mean longitude
+    M = (357.52911 + 35999.05029 * t) * DEG       # sun mean anomaly
     e = 0.016708634 - 0.000042037 * t
-    eps = mean_obliquity(mjd)
-    # heliocentric Earth velocity, ecliptic frame (AU/day -> v/c)
-    k = 0.01720209895  # Gaussian gravitational constant (rad/day)
-    vmag = k / np.sqrt(1 - e * e)  # AU/day scale
-    # velocity direction: perpendicular to radius + eccentricity term
-    vx_ecl = -vmag * (np.sin(L) + e * np.sin(L - M + L * 0))
-    vy_ecl = vmag * (np.cos(L) + e * np.cos(L - M + L * 0))
-    # crude: use argument of perihelion via M; adequate at 0.3" level
+    # equation of center -> true longitude of the sun; Earth = sun+180
+    C = ((1.914602 - 0.004817 * t) * np.sin(M)
+         + (0.019993 - 0.000101 * t) * np.sin(2 * M)
+         + 0.000289 * np.sin(3 * M)) * DEG
+    lam_e = L + C + np.pi                          # Earth true longitude
+    pi_e = (L - M) * 1.0 + np.pi                   # Earth perihelion lon
+    kgauss = 0.01720209895                         # rad/day (a = 1 AU)
     AU_DAY = 1.495978707e11 / 86400.0
-    c = 2.99792458e8
-    vx_ecl *= AU_DAY / c
-    vy_ecl *= AU_DAY / c
-    # ecliptic -> equatorial
-    return np.array([vx_ecl,
-                     vy_ecl * np.cos(eps),
-                     vy_ecl * np.sin(eps)])
+    vfac = kgauss / np.sqrt(1 - e * e) * AU_DAY / C_LIGHT
+    vx = -vfac * (np.sin(lam_e) + e * np.sin(pi_e))
+    vy = vfac * (np.cos(lam_e) + e * np.cos(pi_e))
+
+    # --- Earth about EMB (opposite the Moon's motion) ----------------
+    lam_m = (218.3165 + 481267.8813 * t) * DEG     # moon mean longitude
+    v_moon = 1.023e3 / C_LIGHT                     # mean lunar speed / c
+    f_m = 0.0121505856                             # m_moon/(m_e + m_m)
+    vx += f_m * v_moon * np.sin(lam_m)
+    vy += -f_m * v_moon * np.cos(lam_m)
+
+    # --- Sun about the barycenter (Jupiter + Saturn reflex) ----------
+    for lam0, rate, v_p, mratio in (
+            (34.351484, 3034.9056746, 13.0697e3, 1.0 / 1047.3486),
+            (50.077471, 1222.1137943, 9.6724e3, 1.0 / 3497.898)):
+        lam = (lam0 + rate * t) * DEG
+        vx += mratio * (v_p / C_LIGHT) * np.sin(lam)
+        vy += -mratio * (v_p / C_LIGHT) * np.cos(lam)
+
+    # ecliptic-of-date -> equatorial-of-date
+    eps = mean_obliquity(mjd)
+    return np.array([vx, vy * np.cos(eps), vy * np.sin(eps)])
 
 
 def refraction_coefs(wavelength_nm, pressure_kpa=RUBIN_PRESSURE_KPA,
@@ -202,7 +285,7 @@ class Observation:
     def __init__(self, boresight_ra, boresight_dec, mjd,
                  wavelength_nm=622.0, lat=RUBIN_LAT, lon=RUBIN_LON,
                  pressure_kpa=RUBIN_PRESSURE_KPA, temperature_k=280.0,
-                 h2o_pressure_kpa=1.0):
+                 h2o_pressure_kpa=1.0, dut1=0.0):
         self.mjd = mjd
         self.lat, self.lon = lat, lon
         self.pressure_kpa = pressure_kpa
@@ -210,30 +293,43 @@ class Observation:
         self.h2o_pressure_kpa = h2o_pressure_kpa
         self.wavelength_nm = wavelength_nm
         self.icrf2tod = icrf_to_tod_matrix(mjd)
-        self.vel = earth_velocity(mjd)
-        self.last = gast(mjd) + lon          # local apparent sidereal time
+        # barycentric Earth velocity: computed in the equatorial-of-date
+        # frame, rotated to ICRF components (aberration is applied to
+        # ICRF vectors; a frame mismatch here costs |v/c| * frame angle
+        # ~ 0.1 arcsec)
+        self.vel = icrf_to_tod_matrix(mjd).T @ earth_velocity(mjd)
+        # local apparent sidereal time; dut1 = UT1-UTC (s) if available
+        self.last = gast(mjd + dut1 / 86400.0) + lon
         self.k1, self.k2 = refraction_coefs(wavelength_nm, pressure_kpa,
                                             temperature_k, h2o_pressure_kpa)
-        # diurnal aberration velocity (east), v/c
-        self.v_diurnal = 465.1 * np.cos(lat) / 2.99792458e8
+        # diurnal aberration: observer velocity / c, due east
+        self.v_diurnal = 465.10 * np.cos(lat) / 2.99792458e8
         self.boresight = (boresight_ra, boresight_dec)
         self.bore_az, self.bore_alt = self.icrf_to_observed(
             np.atleast_1d(boresight_ra), np.atleast_1d(boresight_dec))
         self.bore_az = float(self.bore_az[0])
         self.bore_alt = float(self.bore_alt[0])
 
+    def _diurnal_vec(self):
+        """Observer velocity / c in the true-of-date frame (due east at
+        local apparent sidereal time)."""
+        return self.v_diurnal * np.array([-np.sin(self.last),
+                                          np.cos(self.last), 0.0])
+
     # --- ICRF -> observed az/alt ----------------------------------------
     def icrf_to_observed(self, ra, dec):
         v = _sph_to_vec(ra, dec)
-        # annual aberration (first order)
+        # annual aberration (first order; v expressed in ICRF)
         v = v + self.vel
         v /= np.linalg.norm(v, axis=-1, keepdims=True)
-        # precession-nutation
+        # bias-precession-nutation
         v = v @ self.icrf2tod.T
+        # diurnal aberration (0.32 arcsec at the site), TOD frame
+        v = v + self._diurnal_vec()
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
         ra_a, dec_a = _vec_to_sph(v)
         # hour angle
         ha = self.last - ra_a
-        # diurnal aberration: dHA ~ -v_d cos? (small, apply as az shift)
         sin_lat, cos_lat = np.sin(self.lat), np.cos(self.lat)
         sin_alt = (np.sin(dec_a) * sin_lat
                    + np.cos(dec_a) * cos_lat * np.cos(ha))
@@ -256,6 +352,8 @@ class Observation:
                         - np.cos(alt) * sin_lat * np.cos(az))
         ra_a = self.last - ha
         v = _sph_to_vec(ra_a, dec_a)
+        v = v - self._diurnal_vec()
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
         v = v @ self.icrf2tod            # inverse rotation (orthogonal)
         v = v - self.vel
         v /= np.linalg.norm(v, axis=-1, keepdims=True)

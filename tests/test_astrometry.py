@@ -64,3 +64,56 @@ def test_aberration_scale():
     obs = Observation(30 * DEG, -20 * DEG, mjd=60674.2)
     v = np.linalg.norm(obs.vel)
     assert 0.8e-4 < v < 1.1e-4      # ~v/c of Earth's orbit
+
+
+def test_nutation_j2000_published_values():
+    """IAU 2000B leading-terms nutation at J2000.0: the published values
+    are dpsi ~ -13.93 arcsec, deps ~ -5.77 arcsec (dominated by
+    -17.2064" sin(Om) + 9.2052" cos(Om) with Om(J2000) = 125.04 deg)."""
+    from imsim_tpu.optics.astrometry import ARCSEC, nutation
+
+    dpsi, deps = nutation(51544.5)
+    assert abs(dpsi / ARCSEC - (-13.93)) < 0.05, dpsi / ARCSEC
+    assert abs(deps / ARCSEC - (-5.77)) < 0.05, deps / ARCSEC
+    # amplitude bound over two decades: |dpsi| < 19", |deps| < 10.5"
+    for mjd in np.linspace(51544.5, 62000.0, 60):
+        dpsi, deps = nutation(mjd)
+        assert abs(dpsi / ARCSEC) < 19.0
+        assert abs(deps / ARCSEC) < 10.5
+
+
+def test_earth_velocity_annual_aberration_constant():
+    """Barycentric Earth speed / c must track the annual aberration
+    constant kappa = 20.49 arcsec with the eccentricity modulation
+    +- e*kappa = +-0.34 arcsec (plus ~10 mas planetary/lunar terms)."""
+    from imsim_tpu.optics.astrometry import ARCSEC, earth_velocity
+
+    mags = [np.linalg.norm(earth_velocity(mjd)) / ARCSEC
+            for mjd in np.linspace(60300.0, 60665.25, 24)]
+    assert 20.10 < min(mags) < 20.25        # perihelion-side minimum
+    assert 20.75 < max(mags) < 20.90        # aphelion-side maximum
+
+
+def test_diurnal_aberration_applied():
+    """The diurnal term (0.32" * cos(lat) at the site) must shift the
+    apparent position; verify magnitude by comparing against an
+    observation with the term zeroed."""
+    obs = Observation(30 * DEG, -20 * DEG, mjd=60674.2)
+    obs0 = Observation(30 * DEG, -20 * DEG, mjd=60674.2)
+    obs0.v_diurnal = 0.0
+    ra = np.array([30 * DEG])
+    dec = np.array([-20 * DEG])
+    az1, alt1 = obs.icrf_to_observed(ra, dec)
+    az0, alt0 = obs0.icrf_to_observed(ra, dec)
+    sep = np.hypot((az1 - az0) * np.cos(alt1), alt1 - alt0)[0]
+    assert 0.05 * DEG / 3600 < sep < 0.32 * DEG / 3600, sep
+
+
+def test_dut1_rotates_hour_angle():
+    """dut1 (UT1-UTC) is a pure sidereal rotation: 0.5 s of UT1 moves
+    the apparent field by ~7.5 arcsec of rotation at the equator."""
+    obs = Observation(30 * DEG, -20 * DEG, mjd=60674.2)
+    obs2 = Observation(30 * DEG, -20 * DEG, mjd=60674.2, dut1=0.5)
+    d_last = (obs2.last - obs.last) % (2 * np.pi)
+    expect = 0.5 / 86400.0 * 2 * np.pi * 1.00273791  # sidereal rate
+    assert abs(d_last - expect) < 1e-9

@@ -229,3 +229,63 @@ def test_cli_main(tmp_path, instcat, sed_dir):
     for det in ("R22_S10", "R22_S11"):
         assert os.path.exists(os.path.join(
             out2, f"eimage_4242-r-{det}.fits"))
+
+
+def test_opsim_db_and_multi_visit_cli(tmp_path, instcat, sed_dir):
+    """Opsim sqlite metadata (visit selection + seqnum, the reference's
+    tests/data/opsim_db_seqnum_test_data.db analog) driving the CLI's
+    --visits batch-production loop: one process, N visits, compiled
+    kernels reused across visits."""
+    import sqlite3
+
+    import yaml
+
+    from imsim_tpu.__main__ import main
+    from imsim_tpu.catalog.opsim import read_opsim_db
+
+    db = str(tmp_path / "opsim.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE observations (observationId INT, fieldRA REAL, "
+        "fieldDec REAL, filter TEXT, observationStartMJD REAL, "
+        "night INT, seeingFwhm500 REAL, rotTelPos REAL)")
+    for vid, mjd in [(101, 60674.20), (102, 60674.21), (103, 60675.20)]:
+        con.execute("INSERT INTO observations VALUES (?,?,?,?,?,?,?,?)",
+                    (vid, 30.0, -20.0, "r", mjd,
+                     0 if vid < 103 else 1, 0.7, 0.0))
+    con.commit()
+    con.close()
+
+    # visit selection + seqnum = count of earlier same-night visits
+    ods = read_opsim_db(db, 102)
+    assert ods["observationId"] == 102
+    assert ods["band"] == "r"
+    assert ods["seqnum"] == 2
+    assert read_opsim_db(db, 103)["seqnum"] == 1
+    try:
+        read_opsim_db(db, 999)
+        assert False, "missing visit must raise"
+    except ValueError:
+        pass
+
+    out = str(tmp_path / "out")
+    user = tmp_path / "user.yaml"
+    user.write_text(yaml.safe_dump({
+        "template": "imsim-config-instcat",
+        "input.opsim_data.file_name": db,
+        "input.instance_catalog.file_name": instcat,
+        "input.instance_catalog.sed_dir": sed_dir,
+        "psf.type": "DoubleGaussianPSF",
+        "image.sky_level": 0,
+        "image.nobjects": 2,
+        "image.batch_size": 50000,
+        "image.nbatch": 2,
+        "output.readout.enabled": False,
+        "output.cosmic_ray_rate": 0.0,
+    }))
+    rc = main([str(user), f"output.dir={out}", "output.det_num=[94]",
+               "--visits", "101,102", "-q"])
+    assert rc == 0
+    for vid in (101, 102):
+        assert os.path.exists(os.path.join(
+            out, f"eimage_{vid}-r-R22_S11.fits")), vid

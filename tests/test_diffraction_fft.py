@@ -98,3 +98,33 @@ def test_kernel_wavelength_dependence():
     f_r = calibrate_spike_profile(622.0)["fraction"]
     f_y = calibrate_spike_profile(970.0)["fraction"]
     assert f_u < f_r < f_y
+
+
+def test_kernel_golden_regression():
+    """Golden-array regression (the reference pins its spike overlay
+    against stored arrays, tests/data/fft-diffraction/): the r-band
+    kernel's diagonal arm profile, ring-summed radial flux, and the
+    calibration outputs must stay stable."""
+    import os
+
+    from imsim_tpu.image.diffraction_fft import calibrate_spike_profile
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "spike_kernel_golden_r622.npz")
+    g = np.load(path)
+    cal = calibrate_spike_profile(622.0)
+    assert abs(cal["fraction"] - float(g["fraction"])) \
+        < 0.05 * float(g["fraction"])
+    assert abs(cal["r_scale_px"] - float(g["r_scale_px"])) < 0.3
+    assert abs(cal["power"] - float(g["power"])) < 0.1
+
+    k = np.asarray(spike_kernel(622.0, n=513))
+    c = k.shape[0] // 2
+    diag = np.array([k[c + i, c + i] for i in range(1, 200)])
+    np.testing.assert_allclose(diag, g["diag"], rtol=5e-2, atol=1e-9)
+    yy, xx = np.mgrid[:513, :513] - c
+    rr = np.hypot(xx, yy)
+    edges = g["edges"]
+    ring = np.array([k[(rr >= a) & (rr < b)].sum()
+                     for a, b in zip(edges[:-1], edges[1:])])
+    np.testing.assert_allclose(ring, g["ring"], rtol=5e-2, atol=1e-8)
