@@ -99,7 +99,10 @@ def main():
     nx, ny = ccd.bounds.width, ccd.bounds.height
     NB = 6
     N = 16_777_216
-    PAIR = 4           # block antithetic pairing (photon_pooling docs)
+    import os
+    # block antithetic pairing (photon_pooling docs); env override for
+    # pairing experiments (benchmarks/pair_experiment.py)
+    PAIR = int(os.environ.get("BENCH_PAIR", "4"))
     counts = host.flux.astype(np.int64)
     total = int(counts.sum())
     cum = np.zeros(host.scene.n, np.int32)

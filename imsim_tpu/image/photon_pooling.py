@@ -61,8 +61,10 @@ class PoolingConfig:
     # point, arrival time and phase-screen gather; each keeps its own
     # wavelength, profile offset, DCR, diffraction draw and sensor
     # randomness.  Screen gathers are the hot path's dominant cost
-    # (~8.6 ns/photon/layer), so 4 cuts them 4x; per-pixel statistics
-    # stay Poisson-consistent (validated in tests)
+    # (~8.6 ns/photon/layer), so 4 cuts them 4x.  Statistically
+    # validated in tests/test_pairing.py + benchmarks/pair_experiment.py:
+    # pair=4 matches pair=1 delivered-PSF moments and per-pixel Poisson
+    # variance; pair=8 doubles the speckle size dispersion, so don't.
     pupil_pairing: int = 4
     # ChromaticAtmosphere scaling of the screen (first-kick) PSF:
     # kick *= (lambda/wl_ref)^chromatic_exponent per photon
