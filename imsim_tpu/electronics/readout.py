@@ -98,8 +98,8 @@ def apply_cte_bands(raw, bands, axis: int):
     return out
 
 
-@partial(jax.jit, static_argnames=("full_well", "midline_stop", "niter"))
-def bleed_image(image, full_well: float, midline_stop: bool = False,
+@partial(jax.jit, static_argnames=("midline_stop", "niter"))
+def bleed_image(image, full_well, midline_stop: bool = False,
                 niter: int = 0):
     """Charge bleeding along columns (y), conserving charge; excess runs
     off the bottom edge only (imsim/bleed_trails.py:26-153 behavior).
@@ -175,10 +175,10 @@ def unsegment_image(amps, vendor: str, ny: int, nx: int):
     return img
 
 
-@partial(jax.jit, static_argnames=("vendor", "full_well", "midline_stop",
+@partial(jax.jit, static_argnames=("vendor", "midline_stop",
                                    "exptime", "readout_time"))
 def readout_chain(key, image, gains, xtalk, bias_levels, read_noises,
-                  pcte, scte, vendor: str, full_well: float,
+                  pcte, scte, vendor: str, full_well,
                   midline_stop: bool, dark_current: float = 0.02,
                   exptime: float = 30.0, readout_time: float = 2.0):
     """Full device-side readout: returns (16, raw_ny, raw_nx) float32 ADU

@@ -274,6 +274,35 @@ def materialize_rows(params, cum_counts, b, nb, batch_size,
         batch_size, C)
 
 
+def make_psf_mtf(cfg: PoolingConfig):
+    """PSF MTF table for classification/FFT stamps (None when the FFT
+    branch is disabled)."""
+    if cfg.fft_sb_thresh <= 0:
+        return None
+    r0_500 = 0.9758834 * 500e-9 / (cfg.fwhm * np.pi / 180 / 3600)
+    return F.psf_mtf_table(622.0, r0_500, gauss_fwhm=cfg.gauss_fwhm)
+
+
+def pooled_plan(host: SceneHost, modes, cfg: PoolingConfig):
+    """The pooled pass's photon bookkeeping, shared by the serial loop
+    and the mesh-sharded visit: per-object cumulative counts (FFT-mode
+    objects excluded), total photons, batch count and padded batch size.
+
+    Returns (cum int32 (scene.n,), total, nb, batch_size)."""
+    sel = np.asarray(modes) != FFT
+    counts = np.where(sel, host.flux[:host.n_objects], 0).astype(np.int64)
+    total = int(counts.sum())
+    pair = max(cfg.pupil_pairing, 1)
+    nb = pick_nbatch(total, cfg) if total > 0 else 1
+    batch_size = int(np.ceil(max(total, 1) / nb))
+    batch_size = -(-batch_size // pair) * pair
+    cum = np.zeros(host.scene.n, np.int32)
+    if host.n_objects:
+        cum[:host.n_objects] = np.cumsum(counts)
+        cum[host.n_objects:] = cum[host.n_objects - 1]
+    return cum, total, nb, batch_size
+
+
 def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
                       silicon: SiliconParams | None = None,
                       tel=None, ctx=None, screens=None, sk_table=None,
@@ -289,10 +318,7 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
     kolm_as = cfg.psf_table if cfg.psf_table is not None else \
         dataclasses.replace(kolm, y=kolm.y * cfg.fwhm)
     gauss_sigma = cfg.gauss_fwhm / 2.3548200450309493
-    psf_mtf = None
-    if cfg.fft_sb_thresh > 0:
-        r0_500 = 0.9758834 * 500e-9 / (cfg.fwhm * np.pi / 180 / 3600)
-        psf_mtf = F.psf_mtf_table(622.0, r0_500, gauss_fwhm=cfg.gauss_fwhm)
+    psf_mtf = make_psf_mtf(cfg)
 
     modes = classify_objects(host, cfg, psf_mtf)
     image = jnp.zeros((cfg.ysize, cfg.xsize), jnp.float32)
@@ -332,19 +358,10 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
     # ONE fused jit per batch: device-side photon->object assignment +
     # the whole physics chain + sensor accumulate.  Nothing crosses the
     # host boundary per batch but a handful of scalars.
-    sel = np.asarray(modes) != FFT
-    counts = np.where(sel, host.flux[:host.n_objects], 0).astype(np.int64)
-    total = int(counts.sum())
+    cum, total, nb, batch_size = pooled_plan(host, modes, cfg)
     if total == 0:
         return image, modes, realized
-    nb = pick_nbatch(total, cfg)
     pair = cfg.pupil_pairing
-    # batch_size must cover total and split into `pair` equal halves
-    batch_size = int(np.ceil(total / nb))
-    batch_size = -(-batch_size // max(pair, 1)) * max(pair, 1)
-    cum = np.zeros(host.scene.n, np.int32)
-    cum[:host.n_objects] = np.cumsum(counts)
-    cum[host.n_objects:] = cum[host.n_objects - 1] if host.n_objects else 0
     obj_map = _build_obj_map_jit(jnp.asarray(cum), jnp.int32(total), nb,
                                  batch_size, pair)
 
@@ -464,9 +481,43 @@ def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
         flux = flux * np.asarray(vign, float)
     realized = np.zeros(host.n_objects)
     H, W = image.shape
-    # bucket by (stamp size, galaxy Sersic index rounded | None):
-    # galaxies ride the same batched kernel with their unit-hlr MTF
-    # factor evaluated under the full lensing matrix
+    # STARS: all share the PSF MTF, so the whole bright-star field is
+    # ONE Fourier synthesis (fft_render.star_field_pass — a complex
+    # matmul + one padded irfft2, cost independent of star count)
+    star_ids = np.array([i for i in idx
+                         if obj_type[i] not in (SERSIC, KNOTS)],
+                        dtype=int)
+    if len(star_ids):
+        pad = max(F.stamp_bucket(flux[i], psf_mtf, cfg.pixel_scale,
+                                 noise_var=cfg.noise_var)
+                  for i in star_ids) // 2
+        margin = 0
+        kern = None
+        sat = 0.0
+        if spikes is not None:
+            kern = spikes["kernel"]
+            sat = float(spikes["sat"])
+            margin = int(np.asarray(kern).shape[0]) // 2
+        pad = max(pad, margin)
+        Npad = F.good_fft_size(max(H, W) + 2 * pad)
+        # fit residual ~1.3e-4 is the Airy table's own radial-binning
+        # jitter (the fit smooths it); measured image-space impact is
+        # ~1e-5 of the stellar peak
+        cheb, k_max, cheb_err = F.mtf_cheb(psf_mtf)
+        assert cheb_err < 5e-4, cheb_err
+        xs = np.clip(xs_all[star_ids], -pad, W - 1 + pad)
+        ys = np.clip(ys_all[star_ids], -pad, H - 1 + pad)
+        image, r_star = F.star_field_pass(
+            image, jnp.asarray(cheb), jnp.float32(k_max),
+            jnp.asarray(flux[star_ids], jnp.float32),
+            jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32),
+            kern, jnp.float32(sat), stream(seed, "fftnoise", 0),
+            Npad, H, W, pad, cfg.pixel_scale, margin)
+        realized[star_ids] = np.asarray(r_star, float)
+
+    # GALAXIES above the FFT threshold (rare): bucket by (stamp size,
+    # Sersic index rounded) and ride the batched stamp kernel with the
+    # unit-hlr MTF factor evaluated under the full lensing matrix
     buckets: dict[tuple, list[int]] = {}
     for i in idx:
         if obj_type[i] in (SERSIC, KNOTS):
@@ -477,10 +528,6 @@ def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
             N = F.stamp_bucket(flux[i], mtf_i, cfg.pixel_scale,
                                noise_var=cfg.noise_var)
             buckets.setdefault((N, n_s), []).append(i)
-        else:
-            N = F.stamp_bucket(flux[i], psf_mtf, cfg.pixel_scale,
-                               noise_var=cfg.noise_var)
-            buckets.setdefault((N, None), []).append(i)
     for bucket_i, ((N, n_s), ids) in enumerate(sorted(
             buckets.items(), key=lambda kv: (kv[0][0], str(kv[0][1])))):
         B = len(ids)
@@ -516,8 +563,9 @@ def _fft_pass(image, host: SceneHost, modes, cfg, psf_mtf, seed: int,
             stamps = apply_spikes(stamps, spikes["kernel"],
                                   jnp.float32(spikes["sat"]))
         # Poisson noise on FFT stamps (stamp.py:522 adds PoissonNoise),
-        # keyed by the visit seed + bucket (never by flux values)
-        key = stream(seed, "fftnoise", bucket_i)
+        # keyed by the visit seed + bucket (never by flux values);
+        # bucket 0 of the stream is the star field's key
+        key = stream(seed, "fftnoise", 1 + bucket_i)
         from ..utils.rng import poisson_approx
 
         stamps = poisson_approx(key, stamps)

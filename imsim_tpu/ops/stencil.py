@@ -125,12 +125,21 @@ def stencil_pair(image: jax.Array, dkx: jax.Array, dky: jax.Array,
     return ox, oy
 
 
+def size_ok(image) -> bool:
+    """Frame big enough for the Pallas kernel to beat XLA's fused
+    shifted-slice formulation.  Platform selection is NOT done here —
+    sensor.silicon.displacement_field picks the branch with
+    jax.lax.platform_dependent at lowering time (a trace-time
+    `jax.default_backend()` probe reports the tunnel TPU even when the
+    computation targets forced-CPU devices)."""
+    H, W = image.shape
+    return H >= 512 and W >= 512
+
+
 def supports(image) -> bool:
-    """Pallas path eligibility: TPU backend and a frame big enough for
-    the kernel to beat XLA's fused shifted-slice formulation."""
+    """Back-compat probe: size gate AND the default backend is a TPU."""
     try:
         backend = jax.default_backend()
     except Exception:
         return False
-    H, W = image.shape
-    return backend == "tpu" and H >= 512 and W >= 512
+    return backend == "tpu" and size_ok(image)

@@ -112,26 +112,28 @@ class SiliconParams:
     diffusion_um: float = 4.0       # sigma at full drift
     abs_y: jax.Array = None         # absorption-length table values
     bf_kernel: jax.Array = None     # (2R+1, 2R+1)
-    treering_center: tuple = (-1000.0, -1000.0)  # pixels
+    # (2,) pixels — a LEAF (not aux) so per-CCD SiliconParams stack
+    # along a mesh 'ccd' axis (parallel/visit.py run_visit_mesh)
+    treering_center: jax.Array = None
     treering_y: jax.Array = None    # radial displacement profile (pixels)
     treering_rmax: float = 8000.0
     # analytic tree-ring parameters (gather-free eval: the 40-sinusoid
     # sum costs ~free VPU flops vs ~8.6 ns/photon for the table gather);
     # waves: (nfreq, 3) rows of (2*pi/period, phase, amplitude),
-    # tr_env: (a, b, norm) of  norm * wave(r) * (a + b r^4)
+    # tr_env: (3,) array (a, b, norm) of  norm * wave(r) * (a + b r^4)
     tr_waves: jax.Array = None
-    tr_env: tuple = None
+    tr_env: jax.Array = None
 
     def tree_flatten(self):
-        return ((self.abs_y, self.bf_kernel, self.treering_y,
-                 self.tr_waves),
+        return ((self.abs_y, self.bf_kernel, self.treering_center,
+                 self.treering_y, self.tr_waves, self.tr_env),
                 (self.thickness_um, self.pixel_um, self.diffusion_um,
-                 self.treering_center, self.treering_rmax, self.tr_env))
+                 self.treering_rmax))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        abs_y, bf_kernel, treering_y, tr_waves = children
-        th, px, diff, trc, trr, tre = aux
+        abs_y, bf_kernel, trc, treering_y, tr_waves, tre = children
+        th, px, diff, trr = aux
         return cls(th, px, diff, abs_y, bf_kernel, trc, treering_y, trr,
                    tr_waves, tre)
 
@@ -146,7 +148,8 @@ class SiliconParams:
             treering_center = treering_model.center
             treering_profile = treering_model.profile
             tr_waves = jnp.asarray(treering_model.waves, jnp.float32)
-            tr_env = tuple(float(v) for v in treering_model.env)
+            tr_env = jnp.asarray([float(v) for v in treering_model.env],
+                                 jnp.float32)
         tr = treering_profile if treering_profile is not None \
             else np.zeros(2048, np.float32)
         return cls(
@@ -154,7 +157,8 @@ class SiliconParams:
             diffusion_um=diffusion_um,
             abs_y=jnp.asarray(abs_t.y),
             bf_kernel=jnp.asarray(default_bf_kernel(strength=bf_strength)),
-            treering_center=tuple(float(v) for v in treering_center),
+            treering_center=jnp.asarray(
+                [float(v) for v in treering_center], jnp.float32),
             treering_y=jnp.asarray(tr),
             tr_waves=tr_waves,
             tr_env=tr_env,
@@ -184,7 +188,14 @@ def displacement_field(image, params: SiliconParams):
     share every input tap, one HBM read + two writes; ~10x the XLA
     shifted-slice formulation).  Elsewhere the small-kernel conv is
     unrolled into shifted-slice adds over one padded copy (pure VPU
-    elementwise, fuses into a single pass, zero temp beyond the pad)."""
+    elementwise, fuses into a single pass, zero temp beyond the pad).
+
+    The TPU/other split is jax.lax.platform_dependent — resolved at
+    LOWERING time per target platform, so the same traced program is
+    correct under jit, shard_map, and virtual CPU meshes (in this
+    dev environment `jax.default_backend()` reports the tunnel TPU
+    even when the computation is placed on forced-CPU devices, so a
+    trace-time backend probe picks the wrong branch)."""
     K = params.bf_kernel  # (2R+1, 2R+1)
     k = K.shape[0]
     R = k // 2
@@ -193,8 +204,22 @@ def displacement_field(image, params: SiliconParams):
     dKx = 0.5 * (Kp[1:-1, 2:] - Kp[1:-1, :-2])   # (k, k) + support 1 wider
     dKy = 0.5 * (Kp[2:, 1:-1] - Kp[:-2, 1:-1])
     from ..ops import stencil
-    if stencil.supports(image):
-        return stencil.stencil_pair(image, dKx, dKy)
+    if stencil.size_ok(image):
+        packed = jax.lax.platform_dependent(
+            image, dKx, dKy,
+            tpu=lambda im, kx, ky: jnp.stack(
+                stencil.stencil_pair(im, kx, ky)),
+            default=lambda im, kx, ky: jnp.stack(
+                _displacement_slices(im, kx, ky)))
+        return packed[0], packed[1]
+    return _displacement_slices(image, dKx, dKy)
+
+
+def _displacement_slices(image, dKx, dKy):
+    """Shifted-slice formulation of the two-tap-set correlation (the
+    non-TPU branch of displacement_field)."""
+    k = dKx.shape[0]
+    R = k // 2
     H, W = image.shape
     pad = R + 1
     P = jnp.pad(image, pad)

@@ -1,0 +1,135 @@
+"""Measured sensor-model ingestion (GalSim SiliconSensor vertex files,
+the reference's data/sensor_models/lsst_{itl,e2v}_*.dat surface —
+doc/features.rst:27-45): parser, area extraction, and the Poisson-solve
+BF kernel derivation (sensor/sensor_model.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from imsim_tpu.sensor import sensor_model as SM
+
+REF_DIR = "/root/reference/data/sensor_models"
+
+
+def synth_vertex_file(path, q=100000.0, amp=2.0e-6, core=0.7,
+                      npix=9, nv=8, pix=10.0):
+    """Forward-generate a vertex file from a known radial interaction
+    potential K(r) = amp / sqrt(r^2 + core^2)  [r in px]: boundary
+    vertices shift by the drift-line bend  m = -d = +Q grad(K)
+    (inward), evaluated at the undistorted vertex."""
+    cx = cy = (npix // 2 + 1) * pix + pix / 2  # matches 9x9 at 55,55
+    lines = ["X0             Y0             Theta          X"
+             "              Y              "]
+    thetas = (np.arange(4 * nv + 4) + 0.5) / (4 * nv + 4) * 2 * np.pi
+    thetas = np.where(thetas > np.pi, thetas - 2 * np.pi, thetas)
+
+    def dK(r_px):
+        return -amp * r_px / (r_px**2 + core**2) ** 1.5
+
+    for iy in range(npix):
+        for ix in range(npix):
+            x0 = (ix + 1) * pix + pix / 2
+            y0 = (iy + 1) * pix + pix / 2
+            for t in np.sort(thetas):
+                s = (pix / 2) / max(abs(np.cos(t)), abs(np.sin(t)))
+                vx = x0 + s * np.cos(t)
+                vy = y0 + s * np.sin(t)
+                rx, ry = vx - cx, vy - cy
+                r_px = np.hypot(rx, ry) / pix
+                if r_px > 1e-9:
+                    mr = q * dK(r_px) * pix        # um, inward (<0)
+                    vx += mr * rx / (r_px * pix)
+                    vy += mr * ry / (r_px * pix)
+                lines.append(f"{x0:<15.4f}{y0:<15.4f}{t:<15.4f}"
+                             f"{vx:<15.4f}{vy:<15.4f}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return cx, cy
+
+
+def test_synthetic_roundtrip(tmp_path):
+    """Kernel inversion recovers the generating potential's area
+    response: central-pixel shrinkage, neighbor growth, and the exact
+    discrete-Laplacian identity."""
+    # linear-response regime (measured files have K ~ 3e-7); core=0.3
+    # so the generator's area response is positive at the side
+    # neighbors (laplacian of 1/sqrt(r^2+c^2) changes sign at r =
+    # c*sqrt(2) — a wide core pushes that past the neighbor)
+    p = str(tmp_path / "synth.dat")
+    synth_vertex_file(p, amp=2.0e-7, core=0.3)
+    off, da = SM.pixel_areas(p)
+    meas = {(int(round(o[0])), int(round(o[1]))): a
+            for o, a in zip(off, da)}
+    assert meas[(0, 0)] < 0                      # central pixel shrinks
+    assert meas[(1, 0)] > 0 and meas[(0, 1)] > 0
+    # isotropic generator -> symmetric response
+    np.testing.assert_allclose(meas[(1, 0)], meas[(0, 1)], rtol=0.05)
+    K = SM.bf_kernel_from_model(p)
+    c = K.shape[0] // 2
+    assert K[c, c] > 0 and K[c, c] > K[c, c + 1] > K[c, c + 2]
+    # by construction: laplacian(K) == (dA/A)/Q on the measured stamp
+    Kp = np.pad(K, 1)
+    lap = (Kp[2:, 1:-1] + Kp[:-2, 1:-1] + Kp[1:-1, 2:]
+           + Kp[1:-1, :-2] - 4 * K)
+    np.testing.assert_allclose(lap[c, c], meas[(0, 0)] / 100000.0,
+                               rtol=1e-3)
+    np.testing.assert_allclose(lap[c, c + 1], meas[(1, 0)] / 100000.0,
+                               rtol=1e-2, atol=1e-12)
+
+
+def test_resolve_and_vendor_template(tmp_path):
+    p = str(tmp_path / "lsst_itl_50_8.dat")
+    synth_vertex_file(p)
+    got = SM.resolve_sensor_model("lsst_itl_50_8",
+                                  search_dirs=[str(tmp_path)])
+    assert got == p
+    name = "lsst_{vendor}_50_8".format(vendor="itl")
+    assert SM.resolve_sensor_model(name,
+                                   search_dirs=[str(tmp_path)]) == p
+    with pytest.raises(FileNotFoundError):
+        SM.resolve_sensor_model("nope", search_dirs=[str(tmp_path)])
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DIR),
+                    reason="reference sensor models not present")
+def test_reference_vendor_files():
+    """The measured files land in the published LSST BF range and keep
+    the channel-stop anisotropy (y response > x for both vendors)."""
+    for vendor, a00_lo, a00_hi in (("itl", 0.5e-6, 2.0e-6),
+                                   ("e2v", 1.0e-6, 4.0e-6)):
+        p = os.path.join(REF_DIR, f"lsst_{vendor}_50_32.dat")
+        off, da = SM.pixel_areas(p)
+        q, _, _ = SM._cfg_for(p)
+        meas = {(int(round(o[0])), int(round(o[1]))): a / q
+                for o, a in zip(off, da)}
+        assert -a00_hi < meas[(0, 0)] < -a00_lo
+        # channel stops run along y: charge spreads more along columns
+        assert meas[(0, 1)] > meas[(1, 0)] > 0
+        K = SM.bf_kernel_from_model(p)
+        c = K.shape[0] // 2
+        Kp = np.pad(K, 1)
+        lap = (Kp[2:, 1:-1] + Kp[:-2, 1:-1] + Kp[1:-1, 2:]
+               + Kp[1:-1, :-2] - 4 * K)
+        np.testing.assert_allclose(lap[c, c], meas[(0, 0)], rtol=1e-3)
+
+
+def test_silicon_params_with_model_kernel(tmp_path):
+    """The derived kernel drops into SiliconParams and produces a BF
+    displacement field pointing away from accumulated charge."""
+    import jax.numpy as jnp
+
+    from imsim_tpu.sensor.silicon import (SiliconParams,
+                                          displacement_field)
+
+    p = str(tmp_path / "synth.dat")
+    synth_vertex_file(p, amp=1.0e-6)
+    K = SM.bf_kernel_from_model(p)
+    sp = SiliconParams.make()
+    sp = __import__("dataclasses").replace(sp,
+                                           bf_kernel=jnp.asarray(K))
+    img = np.zeros((64, 64), np.float32)
+    img[32, 32] = 1e5
+    dx, dy = displacement_field(jnp.asarray(img), sp)
+    dx = np.asarray(dx)
+    assert dx[32, 33] > 0 and dx[32, 31] < 0   # pushed away from charge
