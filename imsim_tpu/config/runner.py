@@ -106,7 +106,12 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
     if acfg0.get("doOpt"):
         from ..optics.aos import OpticalZernikes
 
-        OpticalZernikes(seed=seed).apply_to(telescope)
+        # optics_data_dir: the reference's measured sensitivity matrix
+        # + AOS closed-loop scales + Zemax nominal field
+        # (imsim/optical_system.py:221-224)
+        OpticalZernikes(
+            seed=seed,
+            data_dir=acfg0.get("optics_data_dir")).apply_to(telescope)
 
     # --- WCS factory ----------------------------------------------------------
     ra = float(ods.get("fieldRA", 0.0)) * DEG
@@ -136,12 +141,20 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
         bandpass = rubin_bandpass(band,
                                   airmass=float(ods.get("airmass", 1.0)))
     exptime = float(ods.get("exptime", 30.0))
+    sky_sed = None
+    sed_file = (cfg.get("image", {}) or {}).get("sky_sed_file")
+    if sed_file:
+        # loadable sky spectrum (image/sky_sed.py) — the rubin_sim
+        # ESO-model data path of imsim/sky_model.py:33-87
+        from ..image.sky_sed import load_sky_sed
+
+        sky_sed = load_sky_sed(sed_file)
     sky_model = SkyModel(exptime, ods.get("mjd_mid", 60674.0), bandpass,
                          airmass=float(ods.get("airmass", 1.0)),
                          moon_phase_deg=float(ods.get("moonPhase", 180.0)),
                          moon_alt_rad=float(ods.get("moonAlt", -0.5)),
                          sun_alt_rad=float(ods.get("sunAlt", -57.3))
-                         * DEG)
+                         * DEG, sky_sed=sky_sed)
     tr_cfg = cfg.get("input", {}).get("tree_rings", {}) or {}
     tree_rings = TreeRings(file_name=tr_cfg.get("file_name"),
                            only_dets=tr_cfg.get("only_dets"))
@@ -614,8 +627,16 @@ def _sky_noise_pieces(ctx: VisitContext, prep: CcdPrep):
                 if dat_f is not None:
                     skyline = np.asarray(dat_f, float)
                     break
+        # fringe amplitude from the ACTUAL sky spectrum when loaded:
+        # etalon visibility of the OH line forest vs the synthetic
+        # reference anchor (image/sky_sed.py::fringing_amplitude)
+        from ..image.sky_sed import fringing_amplitude
+
+        amp = fringing_amplitude(ctx.sky_model.sky_sed,
+                                 ctx.bandpass)
         vig = vig * np.asarray(fr.fringing_map(
-            (ny, nx), skyline_surface=skyline), np.float32)
+            (ny, nx), amplitude=amp, skyline_surface=skyline),
+            np.float32)
     return prep.sky_level, grad, vig
 
 

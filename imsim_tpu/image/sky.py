@@ -71,7 +71,7 @@ class SkyModel:
                  pupil_area=RUBIN_AREA, airmass=1.0,
                  moon_phase_deg=180.0, moon_alt_rad=-0.5,
                  moon_ra=0.0, moon_dec=0.0, sun_alt_rad=-1.0,
-                 logger=None):
+                 sky_sed=None, logger=None):
         self.exptime = exptime
         self.mjd = mjd
         self.bandpass = bandpass
@@ -83,33 +83,95 @@ class SkyModel:
         self.moon_ra = moon_ra
         self.moon_dec = moon_dec
         self.sun_alt_rad = sun_alt_rad
+        # loadable spectrum (image/sky_sed.py): dark-zenith component
+        # templates integrated through the HARDWARE bandpass — the
+        # reference's sed.calculateFlux(bp_hardware) path
+        # (imsim/sky_model.py:38-43, 80-87)
+        self.sky_sed = sky_sed
+        self._sed_rates = None
+        if sky_sed is not None:
+            from ..catalog.bandpass import hardware_bandpass
+            from .sky_sed import photon_rate
+
+            bp_hw = hardware_bandpass(self.band)
+            self._sed_rates = {
+                name: photon_rate(sky_sed.wave_nm, spec, bp_hw)
+                for name, spec in sky_sed.components.items()}
+
+    # --- per-component condition/position factors (each is a flux
+    # ratio vs the component's dark-zenith template) -----------------
+
+    def _airglow_factor(self):
+        """van Rhijn airmass scaling x extinction of the airglow."""
+        X = self.airmass
+        k = EXTINCTION_K.get(self.band, 0.15)
+        vr = (1 - 0.96 * (1 - 1 / X**2)) ** -0.5 if X > 1 else 1.0
+        return vr * 10 ** (-0.4 * k * (X - 1))
+
+    def _moon_factor(self, ra, dec):
+        """Krisciunas & Schaefer moonlight, as a ratio vs dark sky."""
+        k = EXTINCTION_K.get(self.band, 0.15)
+        sep = angular_separation(ra, dec, self.moon_ra, self.moon_dec)
+        return _krisciunas_schaefer_delta(
+            self.moon_phase_deg, self.moon_alt_rad, sep, k,
+            self.airmass)
+
+    def _zodi_factor(self, ra, dec):
+        """Ecliptic morphology vs the POLE value (Leinert 1998)."""
+        beta = ecliptic_latitude(ra, dec)
+        return 10 ** (0.4 * 1.3 * (1.0 - abs(np.sin(beta))))
+
+    def _twilight_excess(self):
+        """Exponential brightening above sun alt -18 deg, vs dark."""
+        sun_alt_deg = np.degrees(self.sun_alt_rad)
+        if sun_alt_deg > -18.0:
+            return 10 ** (0.4 * 1.1 * (sun_alt_deg + 18.0)) - 1.0
+        return 0.0
 
     def get_sky_level(self, ra, dec):
         """photons/arcsec^2 at (ra, dec) radians: airglow (van Rhijn +
         extinction) + moonlight (Krisciunas & Schaefer) + zodiacal floor
         + twilight brightening — the component set of
         rubin_sim.skybrightness (imsim/sky_model.py:44-85) in analytic
-        form."""
+        form; with a loaded sky SED (image.sky_sed_file) the absolute
+        scale and spectral structure come from the data, the
+        conditions/position morphology stays analytic."""
         m_dark = DARK_SKY_SB.get(self.band, 21.0)
-        X = self.airmass
-        # van Rhijn airglow scaling with airmass + extinction of the airglow
-        k = EXTINCTION_K.get(self.band, 0.15)
-        vr = (1 - 0.96 * (1 - 1 / X**2)) ** -0.5 if X > 1 else 1.0
-        flux_ratio = vr * 10 ** (-0.4 * k * (X - 1))
-        sep = angular_separation(ra, dec, self.moon_ra, self.moon_dec)
-        flux_ratio += _krisciunas_schaefer_delta(
-            self.moon_phase_deg, self.moon_alt_rad, sep, k, X)
+        if self._sed_rates is not None:
+            rate = 0.0
+            for name, r0 in self._sed_rates.items():
+                if name == "airglow":
+                    rate += r0 * self._airglow_factor()
+                elif name == "moonlight":
+                    rate += r0 * self._moon_factor(ra, dec)
+                elif name == "zodiacal":
+                    rate += r0 * self._zodi_factor(ra, dec)
+                elif name == "twilight":
+                    rate += r0 * self._twilight_excess()
+                else:       # merged: total analytic ratio vs dark
+                    ratio = (self._airglow_factor()
+                             + self._moon_factor(ra, dec)
+                             + self._twilight_excess())
+                    rate += r0 * ratio
+            # component files without moonlight/twilight templates
+            # still get those conditions: the K&S delta and twilight
+            # excess are defined as ratios vs the dark sky, so apply
+            # them against the summed dark base
+            if "merged" not in self._sed_rates:
+                dark_base = sum(self._sed_rates.values())
+                if "moonlight" not in self._sed_rates:
+                    rate += dark_base * self._moon_factor(ra, dec)
+                if "twilight" not in self._sed_rates:
+                    rate += dark_base * self._twilight_excess()
+            return rate * self.pupil_area * self.exptime
+        flux_ratio = self._airglow_factor()
+        flux_ratio += self._moon_factor(ra, dec)
         # zodiacal light: pole value brightening ~1.3 mag toward the
         # ecliptic plane (Leinert et al. 1998 morphology)
         m_zodi = (ZODI_POLE_SB.get(self.band, 23.0)
                   - 1.3 * (1.0 - abs(np.sin(ecliptic_latitude(ra, dec)))))
         flux_ratio += 10 ** (-0.4 * (m_zodi - m_dark))
-        # twilight: exponential brightening once the sun is above -18 deg
-        # (~ -1.1 mag per degree of sun altitude, r band slope; the
-        # rubin_sim twilight component behaves the same way)
-        sun_alt_deg = np.degrees(self.sun_alt_rad)
-        if sun_alt_deg > -18.0:
-            flux_ratio += 10 ** (0.4 * 1.1 * (sun_alt_deg + 18.0)) - 1.0
+        flux_ratio += self._twilight_excess()
         m_sky = m_dark - 2.5 * np.log10(max(flux_ratio, 1e-6))
         # photons/s/cm^2/arcsec^2 via the bandpass AB zeropoint
         rate = 10 ** (-0.4 * (m_sky - self.bandpass.zeropoint))

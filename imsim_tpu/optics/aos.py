@@ -46,6 +46,47 @@ def _det_rng(tag: str) -> np.random.Generator:
     return np.random.default_rng(int.from_bytes(h[:8], "little"))
 
 
+# --- measured optics_data drop-in loaders ----------------------------------
+# (imsim/optical_system.py:221-224 loads the same three files)
+
+
+def load_sensitivity_matrix(path: str) -> np.ndarray:
+    """data/optics_data/sensitivity_matrix.txt -> (35, 19, 50): one
+    50-float row per (field point, Zernike), '#' comments skipped."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                rows.append([float(v) for v in line.split()])
+    M = np.asarray(rows, float)
+    if M.shape != (N_FIELD * N_ZK, N_DOF):
+        raise ValueError(f"{path}: expected {N_FIELD * N_ZK} x {N_DOF} "
+                         f"rows, got {M.shape}")
+    return M.reshape(N_FIELD, N_ZK, N_DOF)
+
+
+def load_aos_deviation_scales(path: str) -> np.ndarray:
+    """data/optics_data/aos_sim_results.txt -> (50,) per-DOF std over
+    the closed-loop iterations (the reference's mock_deviations draws
+    normal(0, std(results, axis=1)), optical_system.py:152-174)."""
+    res = np.loadtxt(path, skiprows=1)
+    if res.shape[0] != N_DOF:
+        raise ValueError(f"{path}: expected {N_DOF} DOF rows, got "
+                         f"{res.shape}")
+    return np.std(res, axis=1)
+
+
+def load_nominal_coeff(path: str) -> np.ndarray:
+    """data/optics_data/annular_nominal_coeff.txt -> (N_FIELD, N_ZK)
+    Zemax nominal coefficients (stored transposed, 19 x 35)."""
+    arr = np.loadtxt(path)
+    if arr.shape != (N_ZK, N_FIELD):
+        raise ValueError(f"{path}: expected {N_ZK} x {N_FIELD}, got "
+                         f"{arr.shape}")
+    return arr.T
+
+
 def synth_sensitivity_matrix() -> np.ndarray:
     """(N_FIELD, N_ZK, N_DOF) nm-of-wavefront per unit DOF motion.
 
@@ -89,12 +130,37 @@ class OpticalZernikes:
     interpolation over the hexapolar sample points (the reference fits
     the same samples)."""
 
-    def __init__(self, seed: int = 42, deviations=None):
-        self.sensitivity = synth_sensitivity_matrix()
+    def __init__(self, seed: int = 42, deviations=None, data_dir=None):
+        """data_dir: directory holding the reference's measured
+        optics_data files (sensitivity_matrix.txt, aos_sim_results.txt,
+        annular_nominal_coeff.txt) — when given, the sensitivity
+        matrix, per-DOF deviation scales and Zemax nominal field come
+        from the data (imsim/optical_system.py:221-224 semantics);
+        otherwise the synthesized model family is used."""
+        import os
+
+        nominal = None
+        if data_dir:
+            self.sensitivity = load_sensitivity_matrix(
+                os.path.join(data_dir, "sensitivity_matrix.txt"))
+            scales = load_aos_deviation_scales(
+                os.path.join(data_dir, "aos_sim_results.txt"))
+            if deviations is None:
+                rng = _det_rng(f"imsim_tpu-aos-deviation-{seed}")
+                deviations = rng.normal(0.0, scales)
+            nom_path = os.path.join(data_dir,
+                                    "annular_nominal_coeff.txt")
+            if os.path.exists(nom_path):
+                nominal = load_nominal_coeff(nom_path)
+        else:
+            self.sensitivity = synth_sensitivity_matrix()
         self.deviations = (np.asarray(deviations) if deviations is not None
                            else mock_deviations(seed))
-        # (N_FIELD, N_ZK) nm at the sample points
+        # (N_FIELD, N_ZK) nm at the sample points; deviations ride on
+        # top of the Zemax nominal wavefront when the data provide it
         self.field_coefs = self.sensitivity @ self.deviations
+        if nominal is not None:
+            self.field_coefs = self.field_coefs + nominal
         self.points = hexapolar_field_points()
 
     def coefficients(self, fx_deg: float, fy_deg: float) -> np.ndarray:

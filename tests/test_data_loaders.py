@@ -159,3 +159,70 @@ def test_rubin_bandpass_from_files(throughputs_dir):
     mid_lo = np.argmin(np.abs(bp_lo.wave - 620))
     ratio = bp_det.throughput[mid] / bp_lo.throughput[mid_lo]
     assert abs(ratio - 0.85 / 0.9) < 0.02
+
+
+def test_optics_data_loaders(tmp_path):
+    """Measured AOS optics_data files (imsim/optical_system.py:221-224):
+    sensitivity matrix with '#' structure comments, closed-loop results
+    table, transposed Zemax nominal coefficients."""
+    from imsim_tpu.optics.aos import (N_DOF, N_FIELD, N_ZK,
+                                      OpticalZernikes,
+                                      load_aos_deviation_scales,
+                                      load_nominal_coeff,
+                                      load_sensitivity_matrix)
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(0, 1e-2, (N_FIELD, N_ZK, N_DOF))
+    sm = tmp_path / "sensitivity_matrix.txt"
+    with open(sm, "w") as f:
+        f.write(f"# senM size: {N_FIELD} x {N_ZK} x {N_DOF}\n")
+        for i in range(N_FIELD):
+            f.write(f"# field No. {i + 1} --------\n")
+            for j in range(N_ZK):
+                f.write(f"# field No. {i + 1}, Z{j + 4} ---\n")
+                f.write(" ".join(f"{v:.6e}" for v in M[i, j]) + "\n")
+    got = load_sensitivity_matrix(str(sm))
+    np.testing.assert_allclose(got, M, rtol=1e-5)
+
+    res = rng.normal(0, [1.0] * 25 + [5.0] * 25, (7, N_DOF)).T
+    ar = tmp_path / "aos_sim_results.txt"
+    with open(ar, "w") as f:
+        f.write(" ".join(f"iter{k + 1}" for k in range(7)) + "\n")
+        for row in res:
+            f.write(" ".join(str(v) for v in row) + "\n")
+    scales = load_aos_deviation_scales(str(ar))
+    np.testing.assert_allclose(scales, np.std(res, axis=1))
+    assert scales[30:].mean() > scales[:20].mean()
+
+    nom = rng.normal(0, 5.0, (N_FIELD, N_ZK))
+    nc = tmp_path / "annular_nominal_coeff.txt"
+    np.savetxt(nc, nom.T)
+    np.testing.assert_allclose(load_nominal_coeff(str(nc)), nom,
+                               rtol=1e-6)
+
+    oz = OpticalZernikes(seed=3, data_dir=str(tmp_path))
+    # deviations drawn at the per-DOF measured scales; nominal added
+    expect = oz.sensitivity @ oz.deviations + nom
+    np.testing.assert_allclose(oz.field_coefs, expect, rtol=1e-6)
+    c = oz.coefficients(0.5, -0.3)
+    assert c.shape == (N_ZK,)
+
+
+import os as _os
+
+
+@pytest.mark.skipif(
+    not _os.path.isdir("/root/reference/data/optics_data"),
+    reason="reference optics_data not present")
+def test_optics_data_reference_files():
+    from imsim_tpu.optics.aos import (OpticalZernikes,
+                                      load_sensitivity_matrix)
+
+    d = "/root/reference/data/optics_data"
+    M = load_sensitivity_matrix(_os.path.join(d,
+                                              "sensitivity_matrix.txt"))
+    assert M.shape == (35, 19, 50)
+    oz = OpticalZernikes(seed=1, data_dir=d)
+    c = oz.coefficients(0.0, 0.0)
+    # wavefront residuals should be sub-micron-scale, nonzero
+    assert 0 < np.abs(c).max() < 5000.0

@@ -1,0 +1,103 @@
+"""Loadable sky-spectrum data path (image/sky_sed.py) — the
+rubin_sim.skybrightness role of imsim/sky_model.py:33-87: file formats,
+photon-rate integration through the hardware bandpass, per-component
+conditions scaling in SkyModel, and the etalon-visibility fringing
+amplitude."""
+import numpy as np
+import pytest
+
+from imsim_tpu.catalog.bandpass import hardware_bandpass, rubin_bandpass
+from imsim_tpu.image import sky_sed as SS
+from imsim_tpu.image.sky import SkyModel
+
+
+def test_load_two_column(tmp_path):
+    p = str(tmp_path / "sky.txt")
+    w = np.linspace(300, 1100, 200)
+    f = np.full_like(w, 1e-18)
+    with open(p, "w") as fh:
+        fh.write("# wavelength_nm flambda\n")
+        for wi, fi in zip(w, f):
+            fh.write(f"{wi} {fi}\n")
+    sed = SS.load_sky_sed(p)
+    assert list(sed.components) == ["merged"]
+    np.testing.assert_allclose(sed.wave_nm, w)
+    bp = hardware_bandpass("r")
+    rate = SS.photon_rate(sed.wave_nm, sed.merged, bp)
+    # analytic check: flat flambda -> rate = f0/hc * int T(l) l dl
+    expect = 1e-18 / SS._HC_ERG_NM * np.trapezoid(
+        bp(w) * w, w)
+    np.testing.assert_allclose(rate, expect, rtol=1e-6)
+
+
+def test_npz_components_and_sky_model(tmp_path):
+    p = str(tmp_path / "sky.npz")
+    w = np.linspace(300, 1100, 400)
+    airglow = np.full_like(w, 2e-18)
+    zodi = np.full_like(w, 5e-19)
+    np.savez(p, wave=w, airglow=airglow, zodiacal=zodi)
+    sed = SS.load_sky_sed(p)
+    assert set(sed.components) == {"airglow", "zodiacal"}
+    bp = rubin_bandpass("i", airmass=1.0)
+    dark = SkyModel(30.0, 60674.0, bp, airmass=1.0, sky_sed=sed)
+    high = SkyModel(30.0, 60674.0, bp, airmass=2.0, sky_sed=sed)
+    lvl_dark = dark.get_sky_level(0.0, 0.0)
+    lvl_high = high.get_sky_level(0.0, 0.0)
+    assert lvl_dark > 0
+    # van Rhijn + extinction: airmass 2 brightens the airglow part
+    assert lvl_high > lvl_dark
+    # moon up brightens further
+    moon = SkyModel(30.0, 60674.0, bp, airmass=1.0, sky_sed=sed,
+                    moon_phase_deg=0.0, moon_alt_rad=0.8,
+                    moon_ra=0.3, moon_dec=0.1)
+    assert moon.get_sky_level(0.0, 0.0) > lvl_dark
+    # absolute scale follows the file (2x spectrum -> ~2x level)
+    np.savez(p, wave=w, airglow=2 * airglow, zodiacal=2 * zodi)
+    twice = SkyModel(30.0, 60674.0, bp, airmass=1.0,
+                     sky_sed=SS.load_sky_sed(p))
+    np.testing.assert_allclose(twice.get_sky_level(0.0, 0.0),
+                               2 * lvl_dark, rtol=1e-9)
+
+
+def test_etalon_visibility_limits():
+    bp = hardware_bandpass("y")
+    w = np.linspace(900, 1090, 8192)
+    # smooth continuum: fringes wash out
+    cont = np.ones_like(w)
+    v_cont = SS.etalon_visibility(w, cont, bp)
+    # single narrow line: full contrast
+    line = np.exp(-0.5 * ((w - 1000.0) / 0.05) ** 2)
+    v_line = SS.etalon_visibility(w, line, bp)
+    assert v_line > 0.9
+    assert v_cont < 0.05
+    assert v_cont < v_line
+
+
+def test_fringing_amplitude_anchor():
+    bp = hardware_bandpass("y")
+    # the synthetic reference spectrum maps to the base amplitude
+    wr, fr = SS.synthetic_y_sky()
+    sed = SS.SkySED(wr, {"merged": fr})
+    amp = SS.fringing_amplitude(sed, bp, base_amplitude=0.002)
+    np.testing.assert_allclose(amp, 0.002, rtol=1e-9)
+    # a continuum-only sky fringes less
+    cont = SS.SkySED(wr, {"merged": np.ones_like(fr)})
+    assert SS.fringing_amplitude(cont, bp) < 0.0005
+    # no spectrum -> base amplitude
+    assert SS.fringing_amplitude(None, bp) == 0.002
+
+
+def test_runner_sky_sed_key(tmp_path):
+    """image.sky_sed_file reaches the visit context's SkyModel."""
+    p = str(tmp_path / "sky.txt")
+    w = np.linspace(300, 1100, 50)
+    with open(p, "w") as fh:
+        for wi in w:
+            fh.write(f"{wi} 1.5e-18\n")
+    from imsim_tpu.image.sky_sed import load_sky_sed
+
+    sed = load_sky_sed(p)
+    bp = rubin_bandpass("r", airmass=1.0)
+    sm = SkyModel(30.0, 60674.0, bp, airmass=1.0, sky_sed=sed)
+    assert sm.sky_sed is sed
+    assert sm.get_sky_level(0.0, 0.0) > 0
