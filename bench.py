@@ -103,10 +103,13 @@ def main():
     tr = TreeRings().get("R22_S11")
     silicon = SiliconParams.make(treering_model=tr)
 
-    nx, ny = ccd.bounds.width, ccd.bounds.height
-    NB = 6
-    N = 16_777_216
     import os
+
+    nx, ny = ccd.bounds.width, ccd.bounds.height
+    # batch count (BF-recalc granularity); batch size N covers the
+    # pooled total below.  BENCH_NB overrides for batch-size scaling
+    # experiments
+    NB = int(os.environ.get("BENCH_NB", "6"))
     # block antithetic pairing (photon_pooling docs); env override for
     # pairing experiments (benchmarks/pair_experiment.py)
     PAIR = int(os.environ.get("BENCH_PAIR", "4"))
@@ -125,6 +128,7 @@ def main():
                       0).astype(np.int64)
     total = int(counts.sum())
     total_photons = float(total)   # pooled photons (FFT stars excluded)
+    N = -(-(-(-total // NB)) // PAIR) * PAIR  # ceil(total/NB), pair-padded
     cum = np.zeros(host.scene.n, np.int32)
     cum[:host.n_objects] = np.cumsum(counts)
     cum[host.n_objects:] = cum[host.n_objects - 1]

@@ -28,6 +28,12 @@ def main(argv=None):
                         "kernels are reused across visits (static "
                         "shapes), so visit 2+ skips all XLA compiles — "
                         "the DC2-style batch-production mode")
+    p.add_argument("-n", "--njobs", type=int, default=1,
+                   help="split this visit's detectors across N "
+                        "cluster jobs (the galsim CLI's -n; pair "
+                        "with -j)")
+    p.add_argument("-j", "--job", type=int, default=1,
+                   help="which job (1..njobs) this invocation is")
     args = p.parse_args(argv)
 
     level = logging.WARNING if args.quiet else (
@@ -36,8 +42,7 @@ def main(argv=None):
                         format="%(asctime)s %(levelname)s %(message)s")
     logger = logging.getLogger("imsim_tpu")
 
-    from .config.runner import build_visit_context, load_config, \
-        render_one_ccd, run_visit, _det_list
+    from .config.runner import run_visit_iter
     from .utils.process_info import stage_profile
 
     if args.visits:
@@ -54,20 +59,21 @@ def main(argv=None):
         overrides = list(args.overrides)
         if visit is not None:
             overrides.append(f"input.opsim_data.visit={visit}")
-        cfg = load_config(args.config, overrides)
+        if args.njobs > 1:
+            overrides += [f"output.njobs={args.njobs}",
+                          f"output.job={args.job}"]
         tv = time.time()
-        if int((cfg.get("output", {}) or {}).get("io_workers", 0)) > 0:
-            # pipelined output path (render k+1 while writing k) lives in
-            # run_visit; per-detector profiling is coarser there
-            with stage_profile("visit", logger, enabled=args.profile):
-                run_visit(args.config, overrides, logger=logger)
-        else:
-            ctx = build_visit_context(cfg, logger)
-            logger.info("visit context built in %.1fs", time.time() - tv)
-            for det_num in _det_list(ctx):
-                with stage_profile(f"det {det_num}", logger,
-                                   enabled=args.profile):
-                    render_one_ccd(ctx, det_num, logger)
+        # run_visit_iter routes serial / pipelined-IO (output.io_workers)
+        # / mesh (output.mesh) identically to the library API and yields
+        # per-CCD results as their outputs land
+        with stage_profile("visit", logger, enabled=args.profile):
+            for result in run_visit_iter(args.config, overrides,
+                                         logger=logger):
+                if args.profile:
+                    logger.info("det %s done at +%.1fs",
+                                result["det_name"], time.time() - tv)
+                result.pop("eimage", None)       # bound CLI memory
+                result.pop("amps", None)
         if visit is not None:
             logger.info("visit %s complete in %.1fs", visit,
                         time.time() - tv)

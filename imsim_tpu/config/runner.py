@@ -200,12 +200,21 @@ def _det_list(ctx: VisitContext):
     out_cfg = ctx.cfg.get("output", {})
     only = out_cfg.get("only_dets")
     if only:
-        return [ctx.camera.det_num(d) for d in only]
-    dets = out_cfg.get("det_num")
-    if dets is None:
-        dets = list(range(int(out_cfg.get("nfiles",
-                                          len(ctx.camera.det_names)))))
-    return [int(d) for d in dets]
+        dets = [ctx.camera.det_num(d) for d in only]
+    else:
+        dets = out_cfg.get("det_num")
+        if dets is None:
+            dets = list(range(int(out_cfg.get("nfiles",
+                                              len(ctx.camera.det_names)))))
+        dets = [int(d) for d in dets]
+    # multi-job splitting (the galsim CLI's -n njobs -j job surface the
+    # reference uses for cluster fan-out): job j of n renders every
+    # n-th detector, so the 189-CCD axis splits evenly across jobs
+    njobs = int(out_cfg.get("njobs", 1))
+    job = int(out_cfg.get("job", 1))
+    if njobs > 1:
+        dets = dets[job - 1::njobs]
+    return dets
 
 
 def _format_name(template, ctx, det_name, det_num):

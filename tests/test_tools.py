@@ -93,3 +93,24 @@ def test_tools_cli_help():
             [sys.executable, os.path.join(TOOLS, tool), "--help"],
             capture_output=True, text=True, timeout=120)
         assert out.returncode == 0, out.stderr
+
+
+def test_det_list_job_splitting():
+    """output.njobs/output.job (the galsim CLI -n/-j cluster fan-out):
+    jobs partition the detector list evenly and disjointly."""
+    class _Cam:
+        det_names = [f"D{i}" for i in range(10)]
+
+    class _Ctx:
+        camera = _Cam()
+
+        def __init__(self, njobs, job):
+            self.cfg = {"output": {"njobs": njobs, "job": job}}
+
+    from imsim_tpu.config.runner import _det_list
+
+    parts = [_det_list(_Ctx(3, j)) for j in (1, 2, 3)]
+    got = sorted(d for p in parts for d in p)
+    assert got == list(range(10))
+    assert all(len(p) in (3, 4) for p in parts)
+    assert _det_list(_Ctx(1, 1)) == list(range(10))
