@@ -69,11 +69,14 @@ def main(argv=None):
         with stage_profile("visit", logger, enabled=args.profile):
             for result in run_visit_iter(args.config, overrides,
                                          logger=logger):
+                # the CLI keeps no references: each result dict is
+                # released as soon as its (possibly pipelined) write
+                # completes, so memory is bounded by the IO window.
+                # Do NOT mutate it here — the io_workers branch still
+                # holds it for the pending write.
                 if args.profile:
                     logger.info("det %s done at +%.1fs",
                                 result["det_name"], time.time() - tv)
-                result.pop("eimage", None)       # bound CLI memory
-                result.pop("amps", None)
         if visit is not None:
             logger.info("visit %s complete in %.1fs", visit,
                         time.time() - tv)

@@ -15,6 +15,7 @@ the device photon mega-batch.
 """
 from __future__ import annotations
 
+import functools
 import gzip
 import os
 from dataclasses import dataclass, field
@@ -115,7 +116,68 @@ def read_instcat(file_name, wcs=None, xsize=4096, ysize=4096, edge_pix=100,
 
     wcs : object with radec_to_xy(ra, dec) (radians) -> pixel coords, or
         None to keep every object (no cull).
+
+    The PARSE is cached per (file, mtime, flags) and shared by every
+    detector of the visit — the reference re-parses per process
+    (imsim/instcat.py InstCatalog is built per CCD worker); here a
+    189-CCD visit tokenizes the catalog once and only the per-CCD
+    cull/sort run again.
     """
+    tab, ntot = _parse_instcat_cached(
+        os.path.abspath(file_name), _mtime_of(file_name),
+        bool(flip_g2), bool(skip_invalid))
+
+    if wcs is not None and len(tab):
+        x, y = wcs.radec_to_xy(tab.ra, tab.dec)
+        x, y = np.asarray(x, float), np.asarray(y, float)
+        keep = ((x >= -edge_pix) & (x <= xsize + edge_pix)
+                & (y >= -edge_pix) & (y <= ysize + edge_pix))
+        tab = tab.select(keep)
+        tab.x, tab.y = x[keep], y[keep]
+    else:
+        tab = tab.select(np.ones(len(tab), bool))   # private copy
+
+    if min_source is not None:
+        nsersic = int(np.sum(tab.obj_type == SERSIC))
+        if nsersic < min_source:
+            tab = tab.select(np.zeros(len(tab), bool))
+
+    if sort_mag and len(tab):
+        tab = tab.select(np.argsort(tab.magnorm))
+
+    if logger:
+        logger.info("instcat: %d/%d objects kept", len(tab), ntot)
+    return tab
+
+
+def _mtime_of(file_name):
+    try:
+        return os.path.getmtime(file_name)
+    except OSError:
+        return 0.0
+
+
+@functools.lru_cache(maxsize=4)
+def _parse_instcat_cached(file_name, mtime, flip_g2, skip_invalid):
+    return _parse_instcat(file_name, flip_g2=flip_g2,
+                          skip_invalid=skip_invalid)
+
+
+def _parse_instcat(file_name, flip_g2=True, skip_invalid=True,
+                   force_python=False):
+    """Tokenize every `object` line into the full (unculled)
+    ObjectTable.  Returns (table, n_total_lines).
+
+    The hot path is the native C++ tokenizer
+    (catalog/native_instcat.py + io/native/instcat.cc, ~20-50x on
+    DC2-scale files); this Python loop is the reference semantics and
+    the fallback when no toolchain is available."""
+    if not force_python and not os.environ.get("IMSIM_TPU_NO_NATIVE"):
+        from .native_instcat import parse_instcat_native
+
+        res = parse_instcat_native(file_name, flip_g2, skip_invalid)
+        if res is not None:
+            return res
     g2_sign = -1.0 if flip_g2 else 1.0
 
     rows = {k: [] for k in ("id", "ra", "dec", "magnorm", "obj_type",
@@ -224,25 +286,7 @@ def read_instcat(file_name, wcs=None, xsize=4096, ysize=4096, edge_pix=100,
         mw_av=np.array(rows["mw_av"]), mw_rv=np.array(rows["mw_rv"]),
         image_file=np.array(rows["image_file"], object),
     )
-
-    if wcs is not None and len(tab):
-        x, y = wcs.radec_to_xy(tab.ra, tab.dec)
-        tab.x, tab.y = np.asarray(x, float), np.asarray(y, float)
-        keep = ((tab.x >= -edge_pix) & (tab.x <= xsize + edge_pix)
-                & (tab.y >= -edge_pix) & (tab.y <= ysize + edge_pix))
-        tab = tab.select(keep)
-
-    if min_source is not None:
-        nsersic = int(np.sum(tab.obj_type == SERSIC))
-        if nsersic < min_source:
-            tab = tab.select(np.zeros(len(tab), bool))
-
-    if sort_mag and len(tab):
-        tab = tab.select(np.argsort(tab.magnorm))
-
-    if logger:
-        logger.info("instcat: %d/%d objects kept", len(tab), ntot)
-    return tab
+    return tab, ntot
 
 
 def object_flux(magnorm, pupil_area=RUBIN_AREA, exptime=30.0):

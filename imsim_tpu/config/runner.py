@@ -255,8 +255,12 @@ class CcdPrep:
 
 
 def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
-                   write=True):
-    """The LSST_CCD builder for one detector (imsim/ccd.py:20-206 flow)."""
+                   write=True, prep: "CcdPrep | None" = None):
+    """The LSST_CCD builder for one detector (imsim/ccd.py:20-206 flow).
+
+    prep: a CcdPrep built ahead of time (run_visit_iter prefetches the
+    next detector's host-side prep while the device renders the
+    current one); None -> prepare here."""
     cfg = ctx.cfg
     img_cfg = cfg.get("image", {})
 
@@ -303,7 +307,8 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
             write_outputs(ctx, result, logger)
         return result
 
-    prep = prepare_ccd(ctx, det_num, logger)
+    if prep is None:
+        prep = prepare_ccd(ctx, det_num, logger)
     host = prep.host
     pcfg = prep.pcfg
 
@@ -875,15 +880,38 @@ def run_visit_iter(cfg_or_path, overrides=(), logger=None):
 
     mesh_cfg = out_cfg.get("mesh")
     io_workers = int(out_cfg.get("io_workers", 0))
-    if mesh_cfg and (cfg.get("image", {}) or {}).get("type") \
-            != "LSST_Flat":
+    is_flat = (cfg.get("image", {}) or {}).get("type") == "LSST_Flat"
+
+    def preps_ahead():
+        """Prefetch the NEXT detector's host-side prep (catalog cull,
+        scene build, WCS/telescope) in a worker thread while the
+        device renders the current one — JAX dispatch releases the
+        GIL on blocking device calls, so prep and render overlap.
+        output.prefetch: false disables."""
+        if is_flat or len(dets) <= 1 \
+                or out_cfg.get("prefetch", True) is False:
+            for det_num in dets:
+                yield det_num, None
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(prepare_ccd, ctx, dets[0], logger)
+            for k, det_num in enumerate(dets):
+                prep = fut.result()
+                if k + 1 < len(dets):
+                    fut = pool.submit(prepare_ccd, ctx, dets[k + 1],
+                                      logger)
+                yield det_num, prep
+
+    if mesh_cfg and not is_flat:
         from ..parallel.visit import run_visit_mesh
 
         for result in run_visit_mesh(ctx, dets, mesh_cfg, logger):
             yield note(result)
     elif io_workers <= 0 or len(dets) <= 1:
-        for det_num in dets:
-            yield note(render_one_ccd(ctx, det_num, logger))
+        for det_num, prep in preps_ahead():
+            yield note(render_one_ccd(ctx, det_num, logger, prep=prep))
     else:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -895,13 +923,13 @@ def run_visit_iter(cfg_or_path, overrides=(), logger=None):
 
         futures = []
         with ThreadPoolExecutor(max_workers=io_workers) as pool:
-            for det_num in dets:
+            for det_num, prep in preps_ahead():
                 # backpressure: never hold more than 2*io_workers
                 # pending CCD outputs in memory
                 while len(futures) >= 2 * io_workers:
                     futures.pop(0).result()
                 result = render_one_ccd(ctx, det_num, logger,
-                                        write=False)
+                                        write=False, prep=prep)
                 prepare_readout(ctx, result)      # device, main thread
                 futures.append(pool.submit(write_and_release, result))
                 yield note(result)
