@@ -161,8 +161,7 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
     view.state["tree_rings"] = tree_rings
     vcfg = cfg.get("input", {}).get("vignetting", {}) or {}
     if vcfg.get("file_name"):
-        samples = np.loadtxt(vcfg["file_name"], unpack=True)
-        vignetting = Vignetting(samples)
+        vignetting = Vignetting.from_file(vcfg["file_name"])
     else:
         vignetting = Vignetting()
 

@@ -36,16 +36,21 @@ PIXEL_SIZE_MM = 0.01   # 10 um
 RAFT_PITCH_MM = 127.0
 CCD_PITCH_MM = 42.25
 
+# Raw segment geometry measured off the LSSTCam raft example files
+# (reference tests/data/{E2V,ITL}_raft_example_*.fits.gz): both vendors
+# read 576x2048 raw segments — E2V DATASEC [11:522,1:2002] (10 prescan,
+# 54 serial overscan, 46 parallel), ITL DATASEC [4:512,1:2000]
+# (3 prescan, 64 serial overscan, 48 parallel).
 VENDOR_SPECS = {
     "ITL": dict(nx=4072, ny=4000, amp_nx=509, amp_ny=2000,
-                prescan=3, serial_oscan=32, parallel_oscan=48,
+                prescan=3, serial_oscan=64, parallel_oscan=48,
                 full_well=97_000.0, midline_bleed_stop=False),
     "E2V": dict(nx=4096, ny=4004, amp_nx=512, amp_ny=2002,
-                prescan=10, serial_oscan=22, parallel_oscan=46,
+                prescan=10, serial_oscan=54, parallel_oscan=46,
                 full_well=175_000.0, midline_bleed_stop=True),
     # half-height ITL wavefront sensor: single row of 8 amps
     "ITL_WF": dict(nx=4072, ny=2000, amp_nx=509, amp_ny=2000,
-                   prescan=3, serial_oscan=32, parallel_oscan=48,
+                   prescan=3, serial_oscan=64, parallel_oscan=48,
                    full_well=97_000.0, midline_bleed_stop=False),
 }
 
@@ -212,7 +217,12 @@ def build_ccd(det_name: str, bias_levels: dict | None = None) -> CCD:
             bias_levels.get(det_name, {}).get(aname, 1000.0)
         ccd[aname] = Amp(
             name=aname, bounds=b, raw_bounds=raw_b, raw_data_bounds=raw_db,
-            raw_flip_x=(row == 0),     # bottom row reads right-to-left
+            # Readout directions pinned by the reference's own writer
+            # expectations (tests/test_readout.py: E2V Segment10 DETSEC
+            # [512:1,4004:2003], Segment17 [4096:3585,4004:2003]) and
+            # the ITL raft examples (all segments serial-flipped):
+            # E2V flips x on the top row only; ITL flips x everywhere.
+            raw_flip_x=(row == 1) or vendor.startswith("ITL"),
             raw_flip_y=(row == 1),     # top row reads top-to-bottom
             gain=float(gains[k]), read_noise=float(read_noises[k]),
             bias_level=float(bias), full_well=spec["full_well"])

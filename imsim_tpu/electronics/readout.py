@@ -145,19 +145,22 @@ def bleed_image(image, full_well, midline_stop: bool = False,
 
 
 def segment_image(image, vendor: str):
-    """CCD image (ny, nx) -> (n_amps, amp_ny, amp_nx) in readout order
-    (bottom row C00-C07 flipped in x, top row C10-C17 flipped in y;
-    matching the Amp.raw_flip conventions in electronics.camera).
+    """CCD image (ny, nx) -> (n_amps, amp_ny, amp_nx) in readout order,
+    matching the Amp.raw_flip conventions in electronics.camera: E2V
+    reads the bottom row (C00-C07) unflipped and the top row (C10-C17)
+    flipped in both axes; ITL serial registers all read the same way,
+    so every ITL segment is x-flipped (top row additionally y-flipped).
     Half-height wavefront sensors (ITL_WF) carry only the bottom row."""
     spec = VENDOR_SPECS[vendor]
     anx, any_ = spec["amp_nx"], spec["amp_ny"]
     ny, nx = image.shape
     bottom = image[:any_].reshape(any_, 8, anx).transpose(1, 0, 2)
-    bottom = bottom[:, :, ::-1]        # raw_flip_x
+    if vendor.startswith("ITL"):
+        bottom = bottom[:, :, ::-1]    # raw_flip_x
     if vendor == "ITL_WF":
         return bottom
     top = image[ny - any_:].reshape(any_, 8, anx).transpose(1, 0, 2)
-    top = top[:, ::-1, :]              # raw_flip_y
+    top = top[:, ::-1, ::-1]           # raw_flip_x + raw_flip_y
     return jnp.concatenate([bottom, top], axis=0)
 
 
@@ -165,12 +168,15 @@ def unsegment_image(amps, vendor: str, ny: int, nx: int):
     """Inverse of segment_image (used by tests and the DM-style reassembly)."""
     spec = VENDOR_SPECS[vendor]
     anx, any_ = spec["amp_nx"], spec["amp_ny"]
-    bottom = amps[:8][:, :, ::-1].transpose(1, 0, 2).reshape(any_, 8 * anx)
+    bottom = amps[:8]
+    if vendor.startswith("ITL"):
+        bottom = bottom[:, :, ::-1]
+    bottom = bottom.transpose(1, 0, 2).reshape(any_, 8 * anx)
     img = jnp.zeros((ny, nx), amps.dtype)
     img = img.at[:any_].set(bottom)
     if vendor != "ITL_WF":
-        top = amps[8:][:, ::-1, :].transpose(1, 0, 2).reshape(any_,
-                                                              8 * anx)
+        top = amps[8:][:, ::-1, ::-1].transpose(1, 0, 2).reshape(
+            any_, 8 * anx)
         img = img.at[ny - any_:].set(top)
     return img
 

@@ -40,6 +40,36 @@ class Vignetting:
         self._np_grid = np.interp(grid, r, v)
         self._np_step = grid[1] - grid[0]
 
+    @classmethod
+    def from_file(cls, path, n_table=1024):
+        """Load a measured vignetting profile.
+
+        Two formats are accepted:
+        - ``.json``: the reference's B-spline knot file
+          (``data/LSSTCam_vignetting_data.json``, a ``[t, c, k]`` tuple
+          consumed at imsim/vignetting.py:32-39).  The spline is in
+          focal-plane mm and is sampled onto the uniform lookup grid.
+        - anything else: a 2-column text file of
+          ``(radius_mm, throughput)`` samples.
+        """
+        if str(path).endswith(".json"):
+            import json
+
+            from scipy.interpolate import BSpline
+
+            t, c, k = json.load(open(path))
+            spl = BSpline(np.asarray(t, float), np.asarray(c, float),
+                          int(k))
+            # evaluate over the positive-radius branch of the knot span
+            r_hi = float(np.max(t))
+            r = np.linspace(0.0, r_hi, n_table)
+            # normalized by the focal-plane-center value, as the
+            # reference does (imsim/vignetting.py:36-39)
+            v = np.clip(spl(r), 0.0, None) / max(float(spl(0.0)), 1e-30)
+            return cls((r, v), n_table=n_table)
+        samples = np.loadtxt(path, unpack=True)
+        return cls(samples, n_table=n_table)
+
     def __call__(self, r_mm):
         """numpy evaluation (host)."""
         f = np.clip(np.asarray(r_mm, float) / self._np_step, 0,

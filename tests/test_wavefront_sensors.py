@@ -97,7 +97,7 @@ def test_wavefront_readout_8amp(tmp_path):
     ro = CcdReadout(ccd)
     amps = np.asarray(ro.run(jax.random.PRNGKey(1), eimage))
     assert amps.shape[0] == 8
-    spec_nx = 3 + 509 + 32
+    spec_nx = 3 + 509 + 64  # ITL raw segment: 576 px wide
     assert amps.shape == (8, 2000 + 48, spec_nx)
     # data region carries signal/gain + bias; overscan only bias
     data = amps[:, :2000, 3:3 + 509]
