@@ -37,6 +37,7 @@ from ..image.sky import CCD_Fringing, SkyGradient, SkyModel, \
 from ..image.vignetting import Vignetting
 from ..io.checkpoint import Checkpointer
 from ..io.fits import HDU, write_fits
+from ..meta_data import resolve_data_path as _data
 from ..optics.loader import load_telescope
 from ..optics.wcs_factory import WCSFactory, make_wcs_factory
 from ..photons.optics_ops import make_optics_context
@@ -72,7 +73,7 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
     view = ConfigView(cfg)
     # --- opsim metadata -----------------------------------------------------
     ods_cfg = cfg.get("input", {}).get("opsim_data", {}) or {}
-    fname = ods_cfg.get("file_name")
+    fname = _data(ods_cfg.get("file_name"))
     if fname and str(fname).endswith(".db"):
         ods = opsim_mod.read_opsim_db(fname, ods_cfg.get("visit"))
     elif fname:
@@ -111,7 +112,8 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
         # (imsim/optical_system.py:221-224)
         OpticalZernikes(
             seed=seed,
-            data_dir=acfg0.get("optics_data_dir")).apply_to(telescope)
+            data_dir=_data(acfg0.get("optics_data_dir"))).apply_to(
+                telescope)
 
     # --- WCS factory ----------------------------------------------------------
     ra = float(ods.get("fieldRA", 0.0)) * DEG
@@ -130,7 +132,7 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
 
     # --- bandpass, sky, sensors, vignetting ----------------------------------
     bp_cfg = cfg.get("image", {}).get("bandpass", {}) or {}
-    tp_dir = bp_cfg.get("throughputs_dir")
+    tp_dir = _data(bp_cfg.get("throughputs_dir"))
     if tp_dir:
         # measured rubin_sim throughput files (imsim/bandpass.py:60-185)
         from ..catalog.bandpass import rubin_bandpass_from_files
@@ -148,7 +150,7 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
         # ESO-model data path of imsim/sky_model.py:33-87
         from ..image.sky_sed import load_sky_sed
 
-        sky_sed = load_sky_sed(sed_file)
+        sky_sed = load_sky_sed(_data(sed_file))
     sky_model = SkyModel(exptime, ods.get("mjd_mid", 60674.0), bandpass,
                          airmass=float(ods.get("airmass", 1.0)),
                          moon_phase_deg=float(ods.get("moonPhase", 180.0)),
@@ -156,12 +158,12 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
                          sun_alt_rad=float(ods.get("sunAlt", -57.3))
                          * DEG, sky_sed=sky_sed)
     tr_cfg = cfg.get("input", {}).get("tree_rings", {}) or {}
-    tree_rings = TreeRings(file_name=tr_cfg.get("file_name"),
+    tree_rings = TreeRings(file_name=_data(tr_cfg.get("file_name")),
                            only_dets=tr_cfg.get("only_dets"))
     view.state["tree_rings"] = tree_rings
     vcfg = cfg.get("input", {}).get("vignetting", {}) or {}
     if vcfg.get("file_name"):
-        vignetting = Vignetting.from_file(vcfg["file_name"])
+        vignetting = Vignetting.from_file(_data(vcfg["file_name"]))
     else:
         vignetting = Vignetting()
 
@@ -185,8 +187,8 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
     cam_name = cfg.get("output", {}).get("camera", "LsstCamSim")
     r_cfg0 = cfg.get("output", {}).get("readout", {}) or {}
     camera = get_camera(
-        cam_name, bias_levels_file=r_cfg0.get("bias_levels_file"),
-        overrides_file=r_cfg0.get("camera_overrides_file"))
+        cam_name, bias_levels_file=_data(r_cfg0.get("bias_levels_file")),
+        overrides_file=_data(r_cfg0.get("camera_overrides_file")))
     return VisitContext(cfg=cfg, view=view, opsim=ods,
                         camera=camera, telescope=telescope,
                         wcs_factory=fac, bandpass=bandpass,
@@ -372,7 +374,7 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
         from ..catalog.bandpass import rubin_bandpass_from_files
 
         bandpass = rubin_bandpass_from_files(
-            ctx.opsim.get("band", "r"), bp_cfg["throughputs_dir"],
+            ctx.opsim.get("band", "r"), _data(bp_cfg["throughputs_dir"]),
             airmass=float(ctx.opsim.get("airmass", 1.0)),
             camera=ctx.camera.camera_name, det_name=det_name)
     # per-detector focal height -> telescope z-offset, so photons and
@@ -468,9 +470,13 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
 
             name = str(model_name).format(
                 vendor=ccd.vendor.lower())
-            path = resolve_sensor_model(
-                name, search_dirs=[sensor_cfg.get("sensor_model_dir",
-                                                  ".")])
+            from ..meta_data import data_dir as _data_dir
+
+            dirs = [sensor_cfg.get("sensor_model_dir", ".")]
+            if _data_dir():
+                dirs.append(os.path.join(_data_dir(), "sensor_models"))
+                dirs.append(_data_dir())
+            path = resolve_sensor_model(name, search_dirs=dirs)
             bf_kernel = jnp.asarray(
                 bf_kernel_from_model(path, strength=strength))
         silicon = SiliconParams.make(
@@ -630,7 +636,7 @@ def _sky_noise_pieces(ctx: VisitContext, prep: CcdPrep):
                                  int(ctx.opsim.get("observationId", 0))),
             boresight_offset_deg=float(off_deg))
         skyline = None
-        sk_file = img_cfg.get("fringing_skyline_file")
+        sk_file = _data(img_cfg.get("fringing_skyline_file"))
         if sk_file:
             # measured OH skyline spatial-variation surface (the
             # skyline_var.fits data, imsim/sky_model.py:221-233)
@@ -671,7 +677,7 @@ def _paint_cosmic_rays(ctx: VisitContext, det_num: int, eimage,
     from ..image.cosmic_rays import CosmicRayCatalog
 
     catalog = None
-    cat_path = out_cfg0.get("cosmic_ray_catalog")
+    cat_path = _data(out_cfg0.get("cosmic_ray_catalog"))
     if cat_path:
         if str(cat_path).endswith((".fits", ".fits.gz")):
             # measured span catalog (imsim/ccd.py:122-136 +

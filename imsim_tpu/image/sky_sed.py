@@ -52,6 +52,17 @@ class SkySED:
 
 
 def load_sky_sed(path: str) -> SkySED:
+    if str(path).endswith(".pkl"):
+        # the reference's DC2-production sky spectrum snapshot
+        # (data/sky_model_sed_DC2Production.pkl): a pickled
+        # (wave_nm[n], flambda[1, n]) tuple
+        import pickle
+
+        with open(path, "rb") as f:
+            wave, flam = pickle.load(f)
+        wave = np.asarray(wave, float)
+        flam = np.asarray(flam, float).reshape(-1, wave.size)
+        return SkySED(wave, {"merged": flam.sum(axis=0)})
     if str(path).endswith(".npz"):
         with np.load(path) as z:
             wave = np.asarray(z["wave"], float)

@@ -212,6 +212,69 @@ def test_golden_eimage_through_readout():
 
 
 @needs_ref
+def test_data_dir_env_resolution(monkeypatch):
+    """IMSIM_DATA_DIR-style override (imsim/meta_data.py:1-11): bare
+    file names in configs resolve against the measured-data directory."""
+    from imsim_tpu.meta_data import resolve_data_path
+
+    monkeypatch.setenv("IMSIM_DATA_DIR", os.path.join(REF, "data"))
+    p = resolve_data_path("LSSTCam_vignetting_data.json")
+    assert p == os.path.join(REF, "data", "LSSTCam_vignetting_data.json")
+    # absolute + existing-relative paths pass through untouched
+    assert resolve_data_path(__file__) == __file__
+    assert resolve_data_path("no_such_file.xyz") == "no_such_file.xyz"
+    # the higher-priority framework-specific var wins
+    monkeypatch.setenv("IMSIM_TPU_DATA_DIR", os.path.join(REF, "data",
+                                                          "optics_data"))
+    p2 = resolve_data_path("sensitivity_matrix.txt")
+    assert p2.startswith(os.path.join(REF, "data", "optics_data"))
+
+
+@needs_ref
+def test_visit_context_with_reference_data_dir(monkeypatch):
+    """A visit context builds with bare measured-data file names once
+    the data dir points at the reference's data/ directory."""
+    from imsim_tpu.config.runner import build_visit_context
+
+    monkeypatch.setenv("IMSIM_DATA_DIR", os.path.join(REF, "data"))
+    cfg = {
+        "opsim_meta": {"band": "r", "fieldRA": 30.0, "fieldDec": -10.0,
+                       "mjd": 60674.2, "exptime": 30.0, "seed": 7},
+        "input": {
+            "tree_rings": {
+                "file_name": os.path.join(
+                    "tree_ring_data",
+                    "tree_ring_parameters_2026-04-02.txt"),
+                "only_dets": ["R22_S11"]},
+            "vignetting": {"file_name": "LSSTCam_vignetting_data.json"},
+        },
+        "output": {
+            "readout": {
+                "bias_levels_file": "LSSTCam_bias_levels_run_13421.json",
+            },
+        },
+    }
+    ctx = build_visit_context(cfg)
+    assert abs(ctx.vignetting(0.0) - 1.0) < 1e-3
+    tr = ctx.tree_rings.get("R22_S11")
+    assert tr is not None
+    assert ctx.camera["R22_S11"]["C00"].bias_level != 1000.0
+
+
+@needs_ref
+def test_dc2_sky_sed_pickle():
+    from imsim_tpu.catalog.bandpass import rubin_bandpass
+    from imsim_tpu.image.sky_sed import load_sky_sed, photon_rate
+
+    sed = load_sky_sed(os.path.join(
+        REF, "data/sky_model_sed_DC2Production.pkl"))
+    assert sed.wave_nm[0] <= 310 and sed.wave_nm[-1] >= 1100
+    bp = rubin_bandpass("r")
+    rate = photon_rate(sed.wave_nm, sed.merged, bp)
+    assert np.isfinite(rate) and rate > 0
+
+
+@needs_ref
 def test_reference_small_opsim_db():
     from imsim_tpu.catalog.opsim import read_opsim_db
 
