@@ -214,3 +214,131 @@ def _image_flat(node, view):
 @register_output("LSST_CCD")
 def _output_ccd(node, view):
     return dict(kind="ccd")
+
+
+# ---------------------------------------------------------------------------
+# Input loaders (the reference's RegisterInputType surface: stateful
+# visit-scoped singletons, SURVEY L2).  build_visit_context routes each
+# input.<name> section through INPUT_TYPES, so replacing an entry here
+# swaps the implementation exactly like registering a GalSim loader.
+# Handlers read earlier inputs from view.state (opsim_data, telescope,
+# bandpass, ...) — the same ordering contract GalSim's ProcessInput
+# gives the reference's loaders.
+# ---------------------------------------------------------------------------
+
+
+@register_input("opsim_data")
+def _input_opsim(node, view):
+    """Visit metadata: opsim sqlite row, phoSim instcat header, or the
+    in-config opsim_meta dict (imsim/opsim_data.py:76-240)."""
+    from ..catalog import opsim as opsim_mod
+    from ..meta_data import resolve_data_path as _data
+
+    node = node or {}
+    fname = _data(node.get("file_name"))
+    if fname and str(fname).endswith(".db"):
+        return opsim_mod.read_opsim_db(fname, node.get("visit"))
+    if fname:
+        return opsim_mod.read_instcat_header(fname)
+    cat = view.cfg.get("input", {}).get("instance_catalog", {}) or {}
+    if cat.get("file_name"):
+        return opsim_mod.read_instcat_header(
+            _data(cat["file_name"]))
+    return opsim_mod.from_dict(dict(view.cfg.get("opsim_meta", {})))
+
+
+@register_input("telescope")
+def _input_telescope(node, view):
+    """Perturbed telescope for the visit (imsim/telescope_loader.py)."""
+    import numpy as np
+
+    from ..optics.loader import load_telescope
+
+    node = node or {}
+    ods = view.state["opsim_data"]
+    return load_telescope(
+        telescope=node.get("name", "LSST"),
+        band=ods.get("band", "r"),
+        perturbations=node.get("perturbations", ()) or (),
+        fea=node.get("fea"),
+        rotTelPos=float(ods.get("rotTelPos", 0.0)) * np.pi / 180,
+        focusZ=float(node.get("focusZ", 0.0)))
+
+
+@register_input("atm_psf")
+def _input_atm_psf(node, view):
+    """Atmospheric screens + optional parametric AOS optics screen
+    (imsim/atmPSF.py:339-426 + the doOpt hook :37-80).  Returns
+    (AtmConfig, screens); (None, None) when psf.type is not
+    AtmosphericPSF.  Applies doOpt Zernikes to view.state['telescope']
+    as a side effect, so this must run before the WCS factory."""
+    from ..meta_data import resolve_data_path as _data
+
+    node = node or {}
+    ods = view.state["opsim_data"]
+    seed = int(ods.get("seed", 42))
+    tel = view.state.get("telescope")
+    if node.get("doOpt") and tel is not None:
+        from ..optics.aos import OpticalZernikes
+
+        OpticalZernikes(
+            seed=seed,
+            data_dir=_data(node.get("optics_data_dir"))).apply_to(tel)
+    psf_cfg = view.cfg.get("psf", {}) or {}
+    if psf_cfg.get("type", "AtmosphericPSF") != "AtmosphericPSF":
+        return None, None
+    from ..psf.atmosphere import AtmConfig, make_screens
+
+    atm_cfg = AtmConfig(
+        fwhm=float(ods.get("rawSeeing", 0.7)),
+        L0=float(node.get("L0", 25.0)),
+        kcrit=float(node.get("kcrit", 0.2)),
+        screen_size=float(node.get("screen_size", 819.2)),
+        screen_scale=float(node.get("screen_scale", 0.8)),
+        altitude_deg=float(ods.get("altitude", 90.0)),
+        exptime=float(ods.get("exptime", 30.0)))
+    # private atmosphere seed: seed + 271828 (imsim/atmPSF.py:415)
+    screens = make_screens(seed + 271828, atm_cfg)
+    return atm_cfg, screens
+
+
+@register_input("sky_model")
+def _input_sky_model(node, view):
+    """Sky-brightness model from the visit conditions; consumes the
+    bandpass and optional loaded sky SED from view.state
+    (imsim/sky_model.py:33-87)."""
+    import numpy as np
+
+    from ..image.sky import SkyModel
+
+    ods = view.state["opsim_data"]
+    return SkyModel(
+        float(ods.get("exptime", 30.0)),
+        ods.get("mjd_mid", 60674.0),
+        view.state["bandpass"],
+        airmass=float(ods.get("airmass", 1.0)),
+        moon_phase_deg=float(ods.get("moonPhase", 180.0)),
+        moon_alt_rad=float(ods.get("moonAlt", -0.5)),
+        sun_alt_rad=float(ods.get("sunAlt", -57.3)) * np.pi / 180,
+        sky_sed=view.state.get("sky_sed"))
+
+
+@register_input("tree_rings")
+def _input_tree_rings(node, view):
+    from ..meta_data import resolve_data_path as _data
+    from ..sensor.treerings import TreeRings
+
+    node = node or {}
+    return TreeRings(file_name=_data(node.get("file_name")),
+                     only_dets=node.get("only_dets"))
+
+
+@register_input("vignetting")
+def _input_vignetting(node, view):
+    from ..image.vignetting import Vignetting
+    from ..meta_data import resolve_data_path as _data
+
+    node = node or {}
+    if node.get("file_name"):
+        return Vignetting.from_file(_data(node["file_name"]))
+    return Vignetting()

@@ -38,14 +38,14 @@ from ..image.vignetting import Vignetting
 from ..io.checkpoint import Checkpointer
 from ..io.fits import HDU, write_fits
 from ..meta_data import resolve_data_path as _data
-from ..optics.loader import load_telescope
 from ..optics.wcs_factory import WCSFactory, make_wcs_factory
 from ..photons.optics_ops import make_optics_context
-from ..psf.atmosphere import AtmConfig, make_screens, second_kick_table
+from ..psf.atmosphere import AtmConfig, second_kick_table
 from ..sensor.silicon import SiliconParams
 from ..sensor.treerings import TreeRings
 from ..utils.rng import stream
 from .interpreter import ConfigView, load_config
+from .registry import register_extra_output
 
 DEG = np.pi / 180.0
 
@@ -70,20 +70,16 @@ class VisitContext:
 
 
 def build_visit_context(cfg: dict, logger=None) -> VisitContext:
+    """Build the visit-scoped singletons, routing every input.<name>
+    section through INPUT_TYPES (the reference's RegisterInputType /
+    ProcessInput contract): replace a registry entry to swap an input
+    implementation."""
+    from .registry import INPUT_TYPES
+
     view = ConfigView(cfg)
     # --- opsim metadata -----------------------------------------------------
-    ods_cfg = cfg.get("input", {}).get("opsim_data", {}) or {}
-    fname = _data(ods_cfg.get("file_name"))
-    if fname and str(fname).endswith(".db"):
-        ods = opsim_mod.read_opsim_db(fname, ods_cfg.get("visit"))
-    elif fname:
-        ods = opsim_mod.read_instcat_header(fname)
-    else:
-        cat = cfg.get("input", {}).get("instance_catalog", {}) or {}
-        if cat.get("file_name"):
-            ods = opsim_mod.read_instcat_header(cat["file_name"])
-        else:
-            ods = opsim_mod.from_dict(dict(cfg.get("opsim_meta", {})))
+    ods = INPUT_TYPES["opsim_data"](
+        cfg.get("input", {}).get("opsim_data"), view)
     view.state["opsim_data"] = ods
     band = ods.get("band", "r")
     seed = int(ods.get("seed", 42))
@@ -94,26 +90,13 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
     cfg = deep_resolve(view, cfg)
     view.cfg = cfg
 
-    # --- telescope -----------------------------------------------------------
-    tcfg = cfg.get("input", {}).get("telescope", {}) or {}
-    rotTelPos = float(ods.get("rotTelPos", 0.0)) * DEG
-    telescope = load_telescope(
-        telescope=tcfg.get("name", "LSST"), band=band,
-        perturbations=tcfg.get("perturbations", ()) or (),
-        fea=tcfg.get("fea"), rotTelPos=rotTelPos,
-        focusZ=float(tcfg.get("focusZ", 0.0)))
-    # parametric AOS wavefront (the doOpt hook, imsim/atmPSF.py:37-80)
-    acfg0 = cfg.get("input", {}).get("atm_psf", {}) or {}
-    if acfg0.get("doOpt"):
-        from ..optics.aos import OpticalZernikes
-
-        # optics_data_dir: the reference's measured sensitivity matrix
-        # + AOS closed-loop scales + Zemax nominal field
-        # (imsim/optical_system.py:221-224)
-        OpticalZernikes(
-            seed=seed,
-            data_dir=_data(acfg0.get("optics_data_dir"))).apply_to(
-                telescope)
+    # --- telescope + atmosphere (doOpt mutates the telescope, so the
+    # atm_psf input runs before the WCS factory raytraces it) ---------
+    in_cfg = cfg.get("input", {}) or {}
+    telescope = INPUT_TYPES["telescope"](in_cfg.get("telescope"), view)
+    view.state["telescope"] = telescope
+    atm_cfg, screens = INPUT_TYPES["atm_psf"](in_cfg.get("atm_psf"),
+                                              view)
 
     # --- WCS factory ----------------------------------------------------------
     ra = float(ods.get("fieldRA", 0.0)) * DEG
@@ -151,38 +134,14 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
         from ..image.sky_sed import load_sky_sed
 
         sky_sed = load_sky_sed(_data(sed_file))
-    sky_model = SkyModel(exptime, ods.get("mjd_mid", 60674.0), bandpass,
-                         airmass=float(ods.get("airmass", 1.0)),
-                         moon_phase_deg=float(ods.get("moonPhase", 180.0)),
-                         moon_alt_rad=float(ods.get("moonAlt", -0.5)),
-                         sun_alt_rad=float(ods.get("sunAlt", -57.3))
-                         * DEG, sky_sed=sky_sed)
-    tr_cfg = cfg.get("input", {}).get("tree_rings", {}) or {}
-    tree_rings = TreeRings(file_name=_data(tr_cfg.get("file_name")),
-                           only_dets=tr_cfg.get("only_dets"))
+    view.state["bandpass"] = bandpass
+    view.state["sky_sed"] = sky_sed
+    sky_model = INPUT_TYPES["sky_model"](in_cfg.get("sky_model"), view)
+    tree_rings = INPUT_TYPES["tree_rings"](in_cfg.get("tree_rings"),
+                                           view)
     view.state["tree_rings"] = tree_rings
-    vcfg = cfg.get("input", {}).get("vignetting", {}) or {}
-    if vcfg.get("file_name"):
-        vignetting = Vignetting.from_file(_data(vcfg["file_name"]))
-    else:
-        vignetting = Vignetting()
-
-    # --- atmosphere ------------------------------------------------------------
-    atm_cfg = None
-    screens = None
-    psf_cfg = cfg.get("psf", {}) or {}
-    if psf_cfg.get("type", "AtmosphericPSF") == "AtmosphericPSF":
-        acfg = cfg.get("input", {}).get("atm_psf", {}) or {}
-        atm_cfg = AtmConfig(
-            fwhm=float(ods.get("rawSeeing", 0.7)),
-            L0=float(acfg.get("L0", 25.0)),
-            kcrit=float(acfg.get("kcrit", 0.2)),
-            screen_size=float(acfg.get("screen_size", 819.2)),
-            screen_scale=float(acfg.get("screen_scale", 0.8)),
-            altitude_deg=float(ods.get("altitude", 90.0)),
-            exptime=exptime)
-        # private atmosphere seed: seed + 271828 (imsim/atmPSF.py:415)
-        screens = make_screens(seed + 271828, atm_cfg)
+    vignetting = INPUT_TYPES["vignetting"](in_cfg.get("vignetting"),
+                                           view)
 
     cam_name = cfg.get("output", {}).get("camera", "LsstCamSim")
     r_cfg0 = cfg.get("output", {}).get("readout", {}) or {}
@@ -773,89 +732,123 @@ def write_outputs(ctx: VisitContext, result, logger=None):
                              det_name, det_num)
         write_fits(os.path.join(outdir, rname), hdus)
 
-    # OPD maps + annular Zernikes (the `opd` extra output, imsim/opd.py)
-    opd_cfg = out_cfg.get("opd") or {}
-    if opd_cfg.get("enabled"):
-        from ..optics.opd import annular_zernikes, opd_fits_header, opd_map
+    # extra outputs through the registry (the reference's
+    # RegisterExtraOutput surface, SURVEY L2): built-ins opd/sag/truth
+    # below; any other output.<key> dict carrying `type: <registered>`
+    # dispatches to a user-registered handler with the same signature
+    from .registry import EXTRA_OUTPUT_TYPES
 
-        fields = opd_cfg.get("fields", [[0.0, 0.0]])
-        wl = float(opd_cfg.get("wavelength",
-                               ctx.bandpass.effective_wavelength))
-        tel = ctx.wcs_factory.telescope.fiducial
-        hdus = [HDU(None, is_primary=True)]
-        for (fx_deg, fy_deg) in fields:
-            thx = fx_deg * DEG
-            thy = fy_deg * DEG
-            img, mask, _, _ = opd_map(tel, thx, thy, wl,
-                                      nx=int(opd_cfg.get("nx", 255)))
-            hdr = opd_fits_header(thx, thy, wl,
-                                  jmax=int(opd_cfg.get("jmax", 28)))
-            zk = annular_zernikes(tel, thx, thy, wl,
-                                  jmax=int(opd_cfg.get("jmax", 28)),
-                                  nx=65)
-            for j, c in enumerate(zk, start=1):
-                hdr[f"AZ_{j:03d}"] = float(c)
-            hdus.append(HDU(np.nan_to_num(img).astype(np.float32),
-                            header=hdr))
-        oname = _format_name(opd_cfg.get("file_name", "opd.fits"), ctx,
-                             det_name, det_num)
-        write_fits(os.path.join(outdir, oname), hdus)
-
-    # surface sag maps (the `sag` extra output, imsim/sag.py)
-    sag_cfg = out_cfg.get("sag") or {}
-    if sag_cfg.get("enabled"):
-        from ..optics.opd import surface_sag_map
-
-        tel = ctx.wcs_factory.telescope.fiducial
-        hdus = [HDU(None, is_primary=True)]
-        for sname in sag_cfg.get("surfaces", ["M1", "M2", "M3"]):
-            sag, mask, u = surface_sag_map(tel, sname,
-                                           nx=int(sag_cfg.get("nx", 255)))
-            hdus.append(HDU(np.nan_to_num(sag).astype(np.float32),
-                            header={"SURFACE": sname, "UNITS": "m",
-                                    "RMAX": float(u[-1])}, name=sname))
-        sname_out = _format_name(sag_cfg.get("file_name", "sag.fits"),
-                                 ctx, det_name, det_num)
-        write_fits(os.path.join(outdir, sname_out), hdus)
-
-    # truth catalog ("centroid" file, config/imsim-config.yaml:370-393):
-    # object_id ra dec x y nominal_flux phot_flux fft_flux realized_flux
-    # with phot/fft split by rendering mode and realized accumulated
-    # across pooled batches (imsim/photon_pooling.py:472-507)
-    t_cfg = out_cfg.get("truth", {}) or {}
-    if t_cfg.get("enabled", True) and result["host"] is not None:
-        host = result["host"]
-        tname = _format_name(t_cfg.get("file_name", "centroid.txt"), ctx,
-                             det_name, det_num)
-        path = os.path.join(outdir, tname)
-        table = result.get("table")
-        if host.pix_x is not None:
-            xs, ys = host.pix_x, host.pix_y
-        else:
-            params = np.asarray(host.scene.params)[:host.n_objects]
-            xs, ys = params[:, 0], params[:, 1]
-        n = host.n_objects
-        ras = np.degrees(table.ra) if table is not None else np.zeros(n)
-        decs = np.degrees(table.dec) if table is not None else np.zeros(n)
-        ids = table.id if table is not None and len(
-            getattr(table, "id", ())) == n else np.arange(n)
-        modes = result["modes"]
-        realized = result.get("realized")
-        with open(path, "w") as f:
-            f.write("# object_id ra dec x y nominal_flux phot_flux "
-                    "fft_flux realized_flux mode\n")
-            for i in range(n):
-                m = int(modes[i]) if modes is not None else 1
-                phot = host.flux[i] if m != 0 else 0.0
-                fft = host.flux[i] if m == 0 else 0.0
-                real = realized[i] if realized is not None \
-                    else host.flux[i]
-                f.write(f"{ids[i]} {ras[i]:.8f} {decs[i]:.8f} "
-                        f"{xs[i]:.4f} {ys[i]:.4f} "
-                        f"{host.nominal_flux[i]:.2f} {phot:.0f} "
-                        f"{fft:.0f} {real:.2f} {m}\n")
+    builtin = {"readout", "opd", "sag", "truth", "photon_pooling_truth",
+               "camera", "dir", "file_name", "nfiles", "det_num",
+               "only_dets", "mesh", "io_workers", "njobs", "job",
+               "prefetch", "process_info", "cosmic_ray_rate",
+               "cosmic_ray_catalog", "truth_realized"}
+    for name in ("opd", "sag", "truth"):
+        node = out_cfg.get("photon_pooling_truth" if name == "truth"
+                           and "photon_pooling_truth" in out_cfg
+                           else name) or {}
+        EXTRA_OUTPUT_TYPES[name](ctx, result, node, det_name, det_num,
+                                 outdir)
+    for key, node in out_cfg.items():
+        if key in builtin or not isinstance(node, dict):
+            continue
+        handler = EXTRA_OUTPUT_TYPES.get(node.get("type", key))
+        if handler is not None:
+            handler(ctx, result, node, det_name, det_num, outdir)
     if logger:
         logger.info("wrote outputs for %s", det_name)
+
+
+@register_extra_output("opd")
+def _extra_opd(ctx, result, node, det_name, det_num, outdir):
+    """OPD maps + annular Zernikes (the `opd` extra output, imsim/opd.py)."""
+    if not node.get("enabled"):
+        return
+    from ..optics.opd import annular_zernikes, opd_fits_header, opd_map
+
+    fields = node.get("fields", [[0.0, 0.0]])
+    wl = float(node.get("wavelength",
+                        ctx.bandpass.effective_wavelength))
+    tel = ctx.wcs_factory.telescope.fiducial
+    hdus = [HDU(None, is_primary=True)]
+    for (fx_deg, fy_deg) in fields:
+        thx = fx_deg * DEG
+        thy = fy_deg * DEG
+        img, mask, _, _ = opd_map(tel, thx, thy, wl,
+                                  nx=int(node.get("nx", 255)))
+        hdr = opd_fits_header(thx, thy, wl,
+                              jmax=int(node.get("jmax", 28)))
+        zk = annular_zernikes(tel, thx, thy, wl,
+                              jmax=int(node.get("jmax", 28)),
+                              nx=65)
+        for j, c in enumerate(zk, start=1):
+            hdr[f"AZ_{j:03d}"] = float(c)
+        hdus.append(HDU(np.nan_to_num(img).astype(np.float32),
+                        header=hdr))
+    oname = _format_name(node.get("file_name", "opd.fits"), ctx,
+                         det_name, det_num)
+    write_fits(os.path.join(outdir, oname), hdus)
+
+
+@register_extra_output("sag")
+def _extra_sag(ctx, result, node, det_name, det_num, outdir):
+    """Surface sag maps (the `sag` extra output, imsim/sag.py)."""
+    if not node.get("enabled"):
+        return
+    from ..optics.opd import surface_sag_map
+
+    tel = ctx.wcs_factory.telescope.fiducial
+    hdus = [HDU(None, is_primary=True)]
+    for sname in node.get("surfaces", ["M1", "M2", "M3"]):
+        sag, mask, u = surface_sag_map(tel, sname,
+                                       nx=int(node.get("nx", 255)))
+        hdus.append(HDU(np.nan_to_num(sag).astype(np.float32),
+                        header={"SURFACE": sname, "UNITS": "m",
+                                "RMAX": float(u[-1])}, name=sname))
+    sname_out = _format_name(node.get("file_name", "sag.fits"),
+                             ctx, det_name, det_num)
+    write_fits(os.path.join(outdir, sname_out), hdus)
+
+
+@register_extra_output("truth")
+@register_extra_output("photon_pooling_truth")
+def _extra_truth(ctx, result, node, det_name, det_num, outdir):
+    """Truth catalog ("centroid" file, config/imsim-config.yaml:370-393):
+    object_id ra dec x y nominal_flux phot_flux fft_flux realized_flux
+    with phot/fft split by rendering mode and realized accumulated
+    across pooled batches (imsim/photon_pooling.py:472-507)."""
+    if not node.get("enabled", True) or result["host"] is None:
+        return
+    host = result["host"]
+    tname = _format_name(node.get("file_name", "centroid.txt"), ctx,
+                         det_name, det_num)
+    path = os.path.join(outdir, tname)
+    table = result.get("table")
+    if host.pix_x is not None:
+        xs, ys = host.pix_x, host.pix_y
+    else:
+        params = np.asarray(host.scene.params)[:host.n_objects]
+        xs, ys = params[:, 0], params[:, 1]
+    n = host.n_objects
+    ras = np.degrees(table.ra) if table is not None else np.zeros(n)
+    decs = np.degrees(table.dec) if table is not None else np.zeros(n)
+    ids = table.id if table is not None and len(
+        getattr(table, "id", ())) == n else np.arange(n)
+    modes = result["modes"]
+    realized = result.get("realized")
+    with open(path, "w") as f:
+        f.write("# object_id ra dec x y nominal_flux phot_flux "
+                "fft_flux realized_flux mode\n")
+        for i in range(n):
+            m = int(modes[i]) if modes is not None else 1
+            phot = host.flux[i] if m != 0 else 0.0
+            fft = host.flux[i] if m == 0 else 0.0
+            real = realized[i] if realized is not None \
+                else host.flux[i]
+            f.write(f"{ids[i]} {ras[i]:.8f} {decs[i]:.8f} "
+                    f"{xs[i]:.4f} {ys[i]:.4f} "
+                    f"{host.nominal_flux[i]:.2f} {phot:.0f} "
+                    f"{fft:.0f} {real:.2f} {m}\n")
 
 
 def run_visit_iter(cfg_or_path, overrides=(), logger=None):
