@@ -46,6 +46,7 @@ _SLOW_FILES = {
     "test_flat_skycat.py",
     "test_bf_quantitative.py",
     "test_wavefront_sensors.py",
+    "test_multihost.py",
 }
 
 
