@@ -144,6 +144,14 @@ def read_instcat_header(file_name: str) -> OpsimData:
         meta["rawSeeing"] = meta["seeing"]
     if "obshistid" in meta:
         meta["observationId"] = meta["obshistid"]
+    # phoSim lowercase moon/sun keys -> the opsim camelCase names the
+    # sky model reads (all in degrees / percent-illuminated, matching
+    # the opsim schema)
+    for lo, hi in (("moonalt", "moonAlt"), ("moonphase", "moonPhase"),
+                   ("moonra", "moonRA"), ("moondec", "moonDec"),
+                   ("sunalt", "sunAlt"), ("dist2moon", "moonDistance")):
+        if lo in meta:
+            meta[hi] = meta[lo]
     meta.setdefault("exptime", meta.get("vistime", 30.0))
     return OpsimData(meta)
 

@@ -312,14 +312,23 @@ def _input_sky_model(node, view):
     from ..image.sky import SkyModel
 
     ods = view.state["opsim_data"]
+    deg = np.pi / 180
+    # opsim/phoSim moonPhase is percent ILLUMINATED (0-100); the
+    # Krisciunas & Schaefer model wants the phase ANGLE in degrees
+    # (0 = full): alpha = acos(2 f - 1)
+    f = np.clip(float(ods.get("moonPhase", 0.0)) / 100.0, 0.0, 1.0)
+    alpha_deg = float(np.degrees(np.arccos(2.0 * f - 1.0)))
     return SkyModel(
         float(ods.get("exptime", 30.0)),
         ods.get("mjd_mid", 60674.0),
         view.state["bandpass"],
         airmass=float(ods.get("airmass", 1.0)),
-        moon_phase_deg=float(ods.get("moonPhase", 180.0)),
-        moon_alt_rad=float(ods.get("moonAlt", -0.5)),
-        sun_alt_rad=float(ods.get("sunAlt", -57.3)) * np.pi / 180,
+        moon_phase_deg=alpha_deg,
+        # opsim altitudes/positions are in DEGREES (rubin_sim schema)
+        moon_alt_rad=float(ods.get("moonAlt", -28.65)) * deg,
+        moon_ra=float(ods.get("moonRA", 0.0)) * deg,
+        moon_dec=float(ods.get("moonDec", 0.0)) * deg,
+        sun_alt_rad=float(ods.get("sunAlt", -57.3)) * deg,
         sky_sed=view.state.get("sky_sed"))
 
 

@@ -376,7 +376,8 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
             host.scene = dataclasses.replace(
                 host.scene, params=jnp.asarray(params))
     elif cat_cfg.get("file_name"):
-        table = read_instcat(cat_cfg["file_name"], wcs=wcs, xsize=nx,
+        table = read_instcat(_data(cat_cfg["file_name"]), wcs=wcs,
+                             xsize=nx,
                              ysize=ny,
                              edge_pix=float(cat_cfg.get("edge_pix", 100)),
                              sort_mag=bool(cat_cfg.get("sort_mag", True)),
@@ -743,12 +744,20 @@ def write_outputs(ctx: VisitContext, result, logger=None):
                "only_dets", "mesh", "io_workers", "njobs", "job",
                "prefetch", "process_info", "cosmic_ray_rate",
                "cosmic_ray_catalog", "truth_realized"}
-    for name in ("opd", "sag", "truth"):
-        node = out_cfg.get("photon_pooling_truth" if name == "truth"
-                           and "photon_pooling_truth" in out_cfg
-                           else name) or {}
-        EXTRA_OUTPUT_TYPES[name](ctx, result, node, det_name, det_num,
-                                 outdir)
+    for name in ("opd", "sag"):
+        EXTRA_OUTPUT_TYPES[name](ctx, result, out_cfg.get(name) or {},
+                                 det_name, det_num, outdir)
+    # truth variants each dispatch under their OWN key (so a handler
+    # registered as photon_pooling_truth is honored); bare `truth`
+    # runs by default (enabled: true) when neither key is configured
+    if "photon_pooling_truth" in out_cfg:
+        EXTRA_OUTPUT_TYPES["photon_pooling_truth"](
+            ctx, result, out_cfg["photon_pooling_truth"] or {},
+            det_name, det_num, outdir)
+    if "truth" in out_cfg or "photon_pooling_truth" not in out_cfg:
+        EXTRA_OUTPUT_TYPES["truth"](ctx, result,
+                                    out_cfg.get("truth") or {},
+                                    det_name, det_num, outdir)
     for key, node in out_cfg.items():
         if key in builtin or not isinstance(node, dict):
             continue

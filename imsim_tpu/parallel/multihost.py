@@ -36,6 +36,11 @@ def detect_topology(coordinator: str | None = None,
     """Return (num_hosts, host_id)."""
     import jax
 
+    if (num_hosts is None) != (host_id is None) and not coordinator:
+        raise ValueError(
+            "detect_topology: pass BOTH num_hosts and host_id (or a "
+            "coordinator); a lone value would silently fall back to "
+            "single-host and duplicate work across the fleet")
     if num_hosts is not None and host_id is not None:
         return int(num_hosts), int(host_id)
     if coordinator:

@@ -57,7 +57,7 @@ def test_two_host_visit(tiny_visit, tmp_path):
     out = str(tmp_path / "out")
     driver = f"""
 import os, sys
-sys.path.insert(0, {os.getcwd()!r})
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",

@@ -125,7 +125,9 @@ def test_reference_tiny_instcat_parsers_agree():
     from imsim_tpu.catalog.native_instcat import parse_instcat_native
 
     path = os.path.join(REF, "tests/data/tiny_instcat.txt")
-    py, n_py = _parse_instcat(path)
+    # force the pure-Python parser: _parse_instcat otherwise delegates
+    # to the native tokenizer, which would compare it with itself
+    py, n_py = _parse_instcat(path, force_python=True)
     nat, n_nat = parse_instcat_native(path)
     assert n_py == n_nat
     assert len(py) == len(nat) > 0
@@ -272,6 +274,62 @@ def test_dc2_sky_sed_pickle():
     bp = rubin_bandpass("r")
     rate = photon_rate(sed.wave_nm, sed.merged, bp)
     assert np.isfinite(rate) and rate > 0
+
+
+@needs_ref
+def test_neg_pixel_bleed_regression():
+    """The reference pins a measured saturated channel that once drove
+    its bleed code negative (tests/test_bleed_trails.py:74-78 +
+    tests/data/neg_pixel_bleed.pickle).  Run the same channel through
+    this framework's bleed and assert the same invariants: no negative
+    pixels, clamped at full well, no charge created."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from imsim_tpu.electronics.readout import bleed_image
+
+    with open(os.path.join(REF, "tests/data/neg_pixel_bleed.pickle"),
+              "rb") as f:
+        channel, full_well = pickle.load(f)
+    channel = np.asarray(channel, np.float64)
+    img = jnp.asarray(channel[:, None], jnp.float32)
+    out = np.asarray(bleed_image(img, float(full_well)))[:, 0]
+    assert np.all(out >= 0.0)
+    assert np.all(out <= full_well * 1.0001)
+    # charge conserved up to bottom escape (never created)
+    assert out.sum() <= channel.sum() * (1 + 1e-5)
+    # the trail actually spread: more saturated-at-full-well pixels
+    # than input pixels above full well
+    assert (out >= full_well * 0.999).sum() >= \
+        (channel >= full_well).sum()
+
+
+@needs_ref
+def test_reference_config_templates_parse():
+    """The interpreter loads the reference's OWN config templates —
+    template inheritance, typed eval_variables, $/@ references — and
+    lands the same top-level sections (config/imsim-config*.yaml)."""
+    from imsim_tpu.config.interpreter import load_config
+
+    for f in ("imsim-config.yaml", "imsim-config-instcat.yaml",
+              "imsim-config-skycat.yaml",
+              "imsim-config-photon-pooling.yaml"):
+        cfg = load_config(os.path.join(REF, "config", f))
+        for section in ("image", "input", "output", "psf", "stamp"):
+            assert section in cfg, (f, section)
+        # the registered type names in their configs exist here too
+        from imsim_tpu.config import registry
+
+        img_type = cfg["image"].get("type")
+        if img_type:
+            assert img_type in registry.IMAGE_TYPES
+        stamp_type = cfg["stamp"].get("type")
+        if stamp_type:
+            assert stamp_type in registry.STAMP_TYPES
+        out_type = cfg["output"].get("type")
+        if out_type:
+            assert out_type in registry.OUTPUT_TYPES
 
 
 @needs_ref

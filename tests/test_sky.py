@@ -40,6 +40,60 @@ def test_moonlight_brightens_sky():
     assert moony > 1.5 * dark
 
 
+def test_opsim_units_reach_sky_model():
+    """The opsim schema carries moonAlt/moonRA/moonDec in DEGREES and
+    moonPhase as percent illuminated; the sky_model input handler must
+    convert (degrees -> radians, percent -> K&S phase angle) before
+    constructing SkyModel."""
+    from imsim_tpu.config.interpreter import ConfigView
+    from imsim_tpu.config.registry import INPUT_TYPES
+
+    def build(meta):
+        cfg = {"opsim_meta": meta}
+        view = ConfigView(cfg)
+        from imsim_tpu.catalog.opsim import from_dict
+
+        view.state["opsim_data"] = from_dict(dict(meta))
+        view.state["bandpass"] = rubin_bandpass("r")
+        return INPUT_TYPES["sky_model"](None, view)
+
+    # pin the sun well below twilight so the moon term is what varies
+    base = dict(band="r", exptime=30.0, airmass=1.1, sunAlt=-40.0)
+    # full moon at 45 deg altitude, 30 deg from the field
+    sky_full = build(dict(base, moonPhase=100.0, moonAlt=45.0,
+                          moonRA=30.0, moonDec=0.0))
+    assert abs(sky_full.moon_alt_rad - np.radians(45.0)) < 1e-9
+    assert abs(sky_full.moon_phase_deg - 0.0) < 1e-9   # alpha=0 = full
+    assert abs(sky_full.moon_ra - np.radians(30.0)) < 1e-9
+    # new moon -> alpha = 180
+    sky_new = build(dict(base, moonPhase=0.0, moonAlt=45.0))
+    assert abs(sky_new.moon_phase_deg - 180.0) < 1e-9
+    # moon below horizon (degrees!) contributes nothing even at -10
+    sky_down = build(dict(base, moonPhase=100.0, moonAlt=-10.0,
+                          moonRA=30.0, moonDec=0.0))
+    lvl_down = sky_down.get_sky_level(0.0, 0.0)
+    lvl_up = sky_full.get_sky_level(0.0, 0.0)
+    assert lvl_up > 1.5 * lvl_down
+
+
+def test_phosim_header_moon_keys(tmp_path):
+    """phoSim lowercase moon/sun header keys normalize to the opsim
+    names the sky model reads (imsim/opsim_data.py:158-206 parity)."""
+    from imsim_tpu.catalog.opsim import read_instcat_header
+
+    p = tmp_path / "cat.txt"
+    p.write_text("rightascension 30.0\ndeclination -20.0\nmjd 60674.2\n"
+                 "filter 2\nmoonalt 37.5\nmoonphase 82.0\n"
+                 "moonra 100.0\nmoondec -12.0\nsunalt -33.0\n"
+                 "dist2moon 55.0\n")
+    ods = read_instcat_header(str(p))
+    assert float(ods.get("moonAlt")) == 37.5
+    assert float(ods.get("moonPhase")) == 82.0
+    assert float(ods.get("moonRA")) == 100.0
+    assert float(ods.get("sunAlt")) == -33.0
+    assert float(ods.get("moonDistance")) == 55.0
+
+
 def test_opsim_sun_altitude_derived():
     from imsim_tpu.catalog.opsim import from_dict
 
