@@ -47,6 +47,10 @@ class SkyCatalogInterface:
     file_name: str | list
     columns: dict | None = None
     obj_types: tuple | None = None
+    # DC2 convention: dilate galaxy sizes by sqrt(a/b) so the catalog
+    # half-light radius means the SEMI-MAJOR axis (imsim/skycat.py
+    # apply_dc2_dilation; galaxies only)
+    apply_dc2_dilation: bool = False
 
     def __post_init__(self):
         import pandas as pd
@@ -206,9 +210,15 @@ class SkyCatalogInterface:
 
         obj_type = np.where(kind == "galaxy", SERSIC,
                             np.where(kind == "knots", KNOTS, POINT))
-        hlr = get("hlr", np.zeros(n))
+        hlr = np.asarray(get("hlr", np.zeros(n)), float)
         sersic = get("sersic", np.ones(n))
         q = get("q", np.ones(n))
+        if self.apply_dc2_dilation:
+            # size -> semi-major axis: dilate by sqrt(a/b) = q^-1/2
+            # (imsim/skycat.py apply_dc2_dilation; galaxy rows only)
+            gal_row = obj_type != POINT
+            qc = np.clip(np.asarray(q, float), 0.05, 1.0)
+            hlr = np.where(gal_row, hlr / np.sqrt(qc), hlr)
         beta = get("beta", np.zeros(n)) * DEG
         g1 = get("g1", np.zeros(n))
         g2 = get("g2", np.zeros(n))

@@ -9,6 +9,8 @@ resolve through them.
 """
 from __future__ import annotations
 
+import os
+
 INPUT_TYPES: dict = {}
 VALUE_TYPES: dict = {}
 IMAGE_TYPES: dict = {}
@@ -237,14 +239,23 @@ def _input_opsim(node, view):
     node = node or {}
     fname = _data(node.get("file_name"))
     if fname and str(fname).endswith(".db"):
-        return opsim_mod.read_opsim_db(fname, node.get("visit"))
-    if fname:
-        return opsim_mod.read_instcat_header(fname)
-    cat = view.cfg.get("input", {}).get("instance_catalog", {}) or {}
-    if cat.get("file_name"):
-        return opsim_mod.read_instcat_header(
-            _data(cat["file_name"]))
-    return opsim_mod.from_dict(dict(view.cfg.get("opsim_meta", {})))
+        ods = opsim_mod.read_opsim_db(fname, node.get("visit"),
+                                      snap=int(node.get("snap", 0)))
+    elif fname:
+        ods = opsim_mod.read_instcat_header(fname)
+    else:
+        cat = view.cfg.get("input", {}).get("instance_catalog", {}) or {}
+        if cat.get("file_name"):
+            ods = opsim_mod.read_instcat_header(_data(cat["file_name"]))
+        else:
+            ods = opsim_mod.from_dict(
+                dict(view.cfg.get("opsim_meta", {})))
+    # config-level metadata overrides (imsim/opsim_data.py loader
+    # options): snap selection, IMGTYPE and REASON header values
+    for k in ("snap", "image_type", "reason"):
+        if node.get(k) is not None:
+            ods.meta[k] = node[k]
+    return ods
 
 
 @register_input("telescope")
@@ -297,8 +308,17 @@ def _input_atm_psf(node, view):
         screen_scale=float(node.get("screen_scale", 0.8)),
         altitude_deg=float(ods.get("altitude", 90.0)),
         exptime=float(ods.get("exptime", 30.0)))
+    # save_file: reuse a previously built atmosphere when the file
+    # exists, else build and persist (imsim/atmPSF.py:149-162)
+    save_file = _data(node.get("save_file"))
+    if save_file and os.path.isfile(save_file):
+        from ..psf.atmosphere import load_screens
+        return atm_cfg, load_screens(save_file)
     # private atmosphere seed: seed + 271828 (imsim/atmPSF.py:415)
     screens = make_screens(seed + 271828, atm_cfg)
+    if save_file:
+        from ..psf.atmosphere import save_screens
+        save_screens(save_file, screens)
     return atm_cfg, screens
 
 
@@ -311,6 +331,7 @@ def _input_sky_model(node, view):
 
     from ..image.sky import SkyModel
 
+    node = node or {}
     ods = view.state["opsim_data"]
     deg = np.pi / 180
     # opsim/phoSim moonPhase is percent ILLUMINATED (0-100); the
@@ -318,8 +339,13 @@ def _input_sky_model(node, view):
     # (0 = full): alpha = acos(2 f - 1)
     f = np.clip(float(ods.get("moonPhase", 0.0)) / 100.0, 0.0, 1.0)
     alpha_deg = float(np.degrees(np.arccos(2.0 * f - 1.0)))
+    kw = {}
+    if node.get("eff_area") is not None:
+        # collecting area override (imsim/sky_model.py SkyModel
+        # eff_area; default RUBIN_AREA)
+        kw["pupil_area"] = float(node["eff_area"])
     return SkyModel(
-        float(ods.get("exptime", 30.0)),
+        float(node.get("exp_time") or ods.get("exptime", 30.0)),
         ods.get("mjd_mid", 60674.0),
         view.state["bandpass"],
         airmass=float(ods.get("airmass", 1.0)),
@@ -329,7 +355,7 @@ def _input_sky_model(node, view):
         moon_ra=float(ods.get("moonRA", 0.0)) * deg,
         moon_dec=float(ods.get("moonDec", 0.0)) * deg,
         sun_alt_rad=float(ods.get("sunAlt", -57.3)) * deg,
-        sky_sed=view.state.get("sky_sed"))
+        sky_sed=view.state.get("sky_sed"), **kw)
 
 
 @register_input("tree_rings")

@@ -156,6 +156,25 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
                         screens=screens, seed=seed)
 
 
+def parse_photon_ops(ops_list):
+    """stamp.photon_ops -> (apply_dcr, apply_diffraction,
+    field_rotation): which ops run and their options — PhotonDCR
+    presence, RubinDiffraction[Optics] presence + its
+    disable_field_rotation (imsim/photon_ops.py:184,231-250,
+    config/imsim-config.yaml:281-320).  Absent list = full chain."""
+    if ops_list is None:
+        return True, True, True
+    op_types = {str(o.get("type")) for o in ops_list
+                if isinstance(o, dict)}
+    apply_dcr = "PhotonDCR" in op_types
+    apply_diff = bool({"RubinDiffractionOptics",
+                       "RubinDiffraction"} & op_types)
+    field_rot = not any(isinstance(o, dict)
+                        and o.get("disable_field_rotation")
+                        for o in ops_list)
+    return apply_dcr, apply_diff, field_rot
+
+
 def _det_list(ctx: VisitContext):
     out_cfg = ctx.cfg.get("output", {})
     only = out_cfg.get("only_dets")
@@ -228,7 +247,10 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
     if img_cfg.get("type") == "LSST_Flat":
         det_name = ctx.camera.det_name(det_num)
         ccd = ctx.camera[det_name]
-        nx, ny = ccd.bounds.width, ccd.bounds.height
+        # detector-sized by default; image.xsize/ysize override for
+        # small calibration frames and tests
+        nx = int(img_cfg.get("xsize", ccd.bounds.width))
+        ny = int(img_cfg.get("ysize", ccd.bounds.height))
         exptime = float(ctx.opsim.get("exptime", 30.0))
         wcs = ctx.wcs_factory.get_wcs(ccd)
         from ..image.flat import (FlatConfig, build_flat,
@@ -239,7 +261,13 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
         fcfg = FlatConfig(
             counts_per_pixel=float(img_cfg.get("counts_per_pixel",
                                                80_000.0)),
-            counts_per_iter=float(img_cfg.get("counts_per_iter", 1000.0)),
+            # the reference's key is max_counts_per_iter
+            # (imsim/flat.py:44); counts_per_iter kept as an alias.
+            # buffer_size/nx/ny section keys are accepted but moot:
+            # the whole CCD renders in one device pass here.
+            counts_per_iter=float(
+                img_cfg.get("max_counts_per_iter",
+                            img_cfg.get("counts_per_iter", 1000.0))),
             xsize=nx, ysize=ny, exptime=exptime)
         if img_cfg.get("sed"):
             # SED photon-shooting branch (imsim/flat.py:239-264:
@@ -355,9 +383,12 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
         from ..catalog.skycat import SkyCatalogInterface
 
         skycat = SkyCatalogInterface(
-            sky_cfg["file_name"], columns=sky_cfg.get("columns"),
+            _data(sky_cfg["file_name"]),
+            columns=sky_cfg.get("columns"),
             obj_types=tuple(sky_cfg["obj_types"])
-            if sky_cfg.get("obj_types") else None)
+            if sky_cfg.get("obj_types") else None,
+            apply_dc2_dilation=bool(
+                sky_cfg.get("apply_dc2_dilation", False)))
         table = skycat.to_object_table(
             wcs=wcs, xsize=nx, ysize=ny,
             edge_pix=float(sky_cfg.get("edge_pix", 100)), logger=logger)
@@ -365,9 +396,19 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
             os.environ.get("SIMS_SED_LIBRARY_DIR", ".")
         if isinstance(sed_dirs, str):
             sed_dirs = [sed_dirs]
+        # approx_nobjects (imsim/skycat.py getApproxNObjects) is a
+        # processing-capacity hint; here it pins the static scene pad
+        # so every CCD of a visit traces with one shape (no recompiles)
+        approx = sky_cfg.get("approx_nobjects")
+        pad_to = None
+        if approx and int(approx) >= len(table):
+            pad_to = max(int(2 ** np.ceil(np.log2(max(int(approx),
+                                                      1)))), 16)
         host = scene_mod.build_scene(
             table, bandpass, sed_dirs, exptime=exptime,
-            rng=np.random.default_rng(ctx.seed + det_num))
+            rng=np.random.default_rng(ctx.seed + det_num),
+            pad_to=pad_to,
+            max_flux=sky_cfg.get("max_flux"))
         if use_optics:
             thx, thy = ctx.wcs_factory.icrf_to_field(table.ra, table.dec)
             params = np.array(host.scene.params)
@@ -382,6 +423,9 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
                              edge_pix=float(cat_cfg.get("edge_pix", 100)),
                              sort_mag=bool(cat_cfg.get("sort_mag", True)),
                              flip_g2=bool(cat_cfg.get("flip_g2", True)),
+                             min_source=cat_cfg.get("min_source"),
+                             skip_invalid=bool(
+                                 cat_cfg.get("skip_invalid", True)),
                              logger=logger)
         # image.nobjects: user cap on the object count (the reference's
         # CI drives `image.nobjects=10`, imsim/lsst_image.py:38-44);
@@ -452,13 +496,25 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
         fname = ck_cfg.get("file_name") or "checkpoint_{det_name}.h5"
         ckpt = Checkpointer(_format_name(fname, ctx, det_name, det_num),
                             dir=ck_cfg["dir"])
+    apply_dcr, apply_diff, field_rot = parse_photon_ops(
+        stamp_cfg.get("photon_ops"))
     pcfg = PoolingConfig(
         xsize=nx, ysize=ny, exptime=exptime,
+        apply_dcr=apply_dcr, apply_diffraction=apply_diff,
+        diffraction_field_rotation=field_rot,
         nbatch=int(img_cfg.get("nbatch", 8)),
-        batch_size=int(img_cfg.get("batch_size", 8_000_000)),
+        # stamp.maxN is the reference's photon-batch size cap
+        # (imsim/stamp.py:607-618); image.batch_size is the native key
+        batch_size=int(stamp_cfg.get(
+            "maxN", img_cfg.get("batch_size", 8_000_000))),
         nsub=int(img_cfg.get("nsubbatch", 4)),
-        faint_thresh=float(stamp_cfg.get("faint_thresh", 100.0)),
-        fft_sb_thresh=float(stamp_cfg.get("fft_sb_thresh", 0.0)),
+        # max_flux_simple is the reference's faint-object threshold
+        # (imsim/stamp.py:85,435); faint_thresh kept as an alias
+        faint_thresh=float(stamp_cfg.get(
+            "max_flux_simple", stamp_cfg.get("faint_thresh", 100.0))),
+        fft_sb_thresh=float(stamp_cfg.get("fft_sb_thresh", 0.0))
+        if str(stamp_cfg.get("method", "auto")) == "auto" else 0.0,
+        force_fft=str(stamp_cfg.get("method", "auto")) == "fft",
         pixel_scale=float(img_cfg.get("pixel_scale", 0.2)),
         fwhm=float(ctx.opsim.get("FWHMeff", 0.8)),
         nbatch_per_checkpoint=int(img_cfg.get("nbatch_per_checkpoint", 1)),
@@ -527,10 +583,17 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
         # spider arms at 45 deg in the pupil, rotated by the telescope
         # rotator (reference: alpha = pi/4 - rottelpos)
         alpha_deg = 45.0 - float(ctx.opsim.get("rotTelPos", 0.0))
+        # spike_length_cutoff caps spike extent in pixels (the
+        # reference's DiffractionFFT option, imsim/stamp.py:36-68);
+        # the kernel half-width IS the spike length here
+        kw_n = {}
+        if dfft_cfg.get("spike_length_cutoff"):
+            half = int(min(float(dfft_cfg["spike_length_cutoff"]), 2048))
+            kw_n["n"] = 2 * max(half, 16) + 1
         kern = spike_kernel(
             wavelength_nm=float(bandpass.effective_wavelength),
             pixel_scale=pcfg.pixel_scale, alpha_deg=alpha_deg,
-            rot_smear_deg=max(smear_deg, 1e-3))
+            rot_smear_deg=max(smear_deg, 1e-3), **kw_n)
         spikes = dict(kernel=jnp.asarray(kern),
                       sat=float(dfft_cfg.get("brightness_threshold",
                                              ccd.full_well)))
@@ -668,11 +731,14 @@ def eimage_header(ctx: VisitContext, det_name, wcs):
 def _run_readout(ctx: VisitContext, result, r_cfg) -> np.ndarray:
     """Device readout chain -> (16, ny, nx) int amps as numpy."""
     ccd = result["ccd"]
+    opt = {k: float(r_cfg[k]) for k in ("full_well", "read_noise",
+                                        "bias_level")
+           if r_cfg.get(k) is not None}
     ro = CcdReadout(ccd, readout_time=float(r_cfg.get("readout_time",
                                                       2.0)),
                     dark_current=float(r_cfg.get("dark_current", 0.02)),
                     scti=float(r_cfg.get("scti", 1e-6)),
-                    pcti=float(r_cfg.get("pcti", 1e-6)))
+                    pcti=float(r_cfg.get("pcti", 1e-6)), **opt)
     return np.asarray(ro.run(stream(ctx.seed, "readout",
                                     result["det_num"]),
                              jnp.asarray(result["eimage"]),
@@ -706,9 +772,13 @@ def write_outputs(ctx: VisitContext, result, logger=None):
     # eimage
     fname = _format_name(out_cfg.get("file_name", "eimage.fits"), ctx,
                          det_name, det_num)
+    ehdr = eimage_header(ctx, det_name, wcs)
+    # output.header: user extras on the eimage header, $-expressions
+    # resolved (imsim/ccd.py LSST_CCDBuilder 'header' option)
+    for k, v in (out_cfg.get("header") or {}).items():
+        ehdr[str(k)[:8].upper()] = ctx.view.resolve(v)
     write_fits(os.path.join(outdir, fname),
-               [HDU(eimage.astype(np.float32),
-                    header=eimage_header(ctx, det_name, wcs))])
+               [HDU(eimage.astype(np.float32), header=ehdr)])
 
     # raw amp file through the readout chain; `amps` may have been
     # precomputed by prepare_readout (pipelined visits keep device work
@@ -721,10 +791,15 @@ def write_outputs(ctx: VisitContext, result, logger=None):
         from ..electronics.headers import amp_header, raw_primary_header
 
         eh = eimage_header(ctx, det_name, wcs)
-        hdus = [HDU(None, header=raw_primary_header(
+        phdr = raw_primary_header(
             eh, ccd.getSerial(),
-            ctx.cfg.get("output", {}).get("camera", "LsstCamSim")),
-            is_primary=True)]
+            ctx.cfg.get("output", {}).get("camera", "LsstCamSim"))
+        # user-supplied primary keywords, $-expressions resolved
+        # (imsim/readout.py:574-585 added_keywords)
+        for k, v in (r_cfg.get("added_keywords") or {}).items():
+            v = ctx.view.resolve(v)
+            phdr[str(k)[:8].upper()] = v
+        hdus = [HDU(None, header=phdr, is_primary=True)]
         for k, aname in enumerate(ccd.amp_names):
             hdus.append(HDU(amps[k], header=amp_header(ccd, ccd[aname],
                                                        wcs),
@@ -744,9 +819,13 @@ def write_outputs(ctx: VisitContext, result, logger=None):
                "only_dets", "mesh", "io_workers", "njobs", "job",
                "prefetch", "process_info", "cosmic_ray_rate",
                "cosmic_ray_catalog", "truth_realized"}
+    # presence of the section activates the output (GalSim extra-output
+    # semantics); enabled: false opts out explicitly
     for name in ("opd", "sag"):
-        EXTRA_OUTPUT_TYPES[name](ctx, result, out_cfg.get(name) or {},
-                                 det_name, det_num, outdir)
+        if name in out_cfg:
+            EXTRA_OUTPUT_TYPES[name](ctx, result,
+                                     out_cfg.get(name) or {},
+                                     det_name, det_num, outdir)
     # truth variants each dispatch under their OWN key (so a handler
     # registered as photon_pooling_truth is honored); bare `truth`
     # runs by default (enabled: true) when neither key is configured
@@ -771,7 +850,7 @@ def write_outputs(ctx: VisitContext, result, logger=None):
 @register_extra_output("opd")
 def _extra_opd(ctx, result, node, det_name, det_num, outdir):
     """OPD maps + annular Zernikes (the `opd` extra output, imsim/opd.py)."""
-    if not node.get("enabled"):
+    if not node.get("enabled", True):
         return
     from ..optics.opd import annular_zernikes, opd_fits_header, opd_map
 
@@ -802,7 +881,7 @@ def _extra_opd(ctx, result, node, det_name, det_num, outdir):
 @register_extra_output("sag")
 def _extra_sag(ctx, result, node, det_name, det_num, outdir):
     """Surface sag maps (the `sag` extra output, imsim/sag.py)."""
-    if not node.get("enabled"):
+    if not node.get("enabled", True):
         return
     from ..optics.opd import surface_sag_map
 

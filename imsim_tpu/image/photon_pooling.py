@@ -78,6 +78,17 @@ class PoolingConfig:
     # (DoubleGaussianPSF / KolmogorovPSF fallback families,
     # imsim/atmPSF.py:448-538)
     psf_table: object = None
+    # the stamp.photon_ops config surface: PhotonDCR presence,
+    # RubinDiffraction[Optics] presence, and disable_field_rotation
+    # (imsim/photon_ops.py:184,231-250)
+    apply_dcr: bool = True
+    apply_diffraction: bool = True
+    diffraction_field_rotation: bool = True
+    # stamp.method == 'fft': render every FFT-capable object through
+    # the Fourier branch regardless of peak brightness
+    # (imsim/stamp.py:270-286 method override); faint objects keep the
+    # simplified-photon path (they carry < max_flux_simple photons).
+    force_fft: bool = False
 
 
 def classify_objects(host: SceneHost, cfg: PoolingConfig,
@@ -96,6 +107,12 @@ def classify_objects(host: SceneHost, cfg: PoolingConfig,
 
     modes = np.full(host.n_objects, PHOT, np.int8)
     modes[host.flux[:host.n_objects] < cfg.faint_thresh] = FAINT
+    if cfg.force_fft:
+        obj_type = np.asarray(host.scene.obj_type)[:host.n_objects]
+        capable = ((obj_type == 0) | (obj_type == SERSIC)
+                   | (obj_type == KNOTS))
+        modes[(modes == PHOT) & capable] = FFT
+        return modes
     if cfg.fft_sb_thresh > 0 and psf_mtf is not None:
         peak = F.peak_surface_brightness(host.flux[:host.n_objects],
                                          psf_mtf, cfg.pixel_scale)
@@ -376,7 +393,9 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
             screens, sk_table, psf_tables["kolmogorov"],
             jnp.float32(gauss_sigma), silicon, image,
             cfg.exptime, cfg.pixel_scale, cfg.nsub, track_realized,
-            pair, cfg.chromatic_exponent, cfg.wl_ref)
+            pair, cfg.chromatic_exponent, cfg.wl_ref,
+            cfg.apply_dcr, cfg.apply_diffraction,
+            cfg.diffraction_field_rotation)
         if batch_realized is not None:
             realized += np.asarray(batch_realized, np.float64)
         if checkpointer is not None and \
@@ -396,14 +415,19 @@ _build_obj_map_jit = jax.jit(build_obj_map,
 @partial(jax.jit, static_argnames=("nb", "batch_size", "exptime",
                                    "pixel_scale", "nsub",
                                    "track_realized", "pair",
-                                   "chromatic_exponent", "wl_ref"))
+                                   "chromatic_exponent", "wl_ref",
+                                   "apply_dcr", "apply_diffraction",
+                                   "diffraction_field_rotation"))
 def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
                        batch_size, tel, ctx, screens, sk_table,
                        kolm_table, gauss_sigma, silicon, image,
                        exptime, pixel_scale, nsub,
                        track_realized: bool = False, pair: int = 1,
                        chromatic_exponent: float = 0.0,
-                       wl_ref: float = 622.0):
+                       wl_ref: float = 622.0,
+                       apply_dcr: bool = True,
+                       apply_diffraction: bool = True,
+                       diffraction_field_rotation: bool = True):
     obj_idx, weight = batch_from_obj_map(obj_map, total, b, nb,
                                          batch_size, pair)
     # per-photon params via scatter+cumsum instead of a row-gather;
@@ -420,7 +444,9 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
             key, scene, obj_idx, weight, tel, ctx, screens=screens,
             sk_table=sk_table, exptime=exptime, row=row,
             pupil_pairing=pair,
-            chromatic_exponent=chromatic_exponent, wl_ref=wl_ref)
+            chromatic_exponent=chromatic_exponent, wl_ref=wl_ref,
+            apply_dcr=apply_dcr, apply_diffraction=apply_diffraction,
+            diffraction_field_rotation=diffraction_field_rotation)
     else:
         photons = render.shoot(
             key, scene, obj_idx, weight,

@@ -218,7 +218,10 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
                row: jax.Array = None,
                pupil_pairing: int = 1,
                chromatic_exponent: float = 0.0,
-               wl_ref: float = 622.0) -> PhotonBatch:
+               wl_ref: float = 622.0,
+               apply_dcr: bool = True,
+               apply_diffraction: bool = True,
+               diffraction_field_rotation: bool = True) -> PhotonBatch:
     """Full physics chain for a pooled batch: the per-photon equivalent of
     the reference's photon_ops pipeline (imsim/stamp.py:527-573 with
     config/imsim-config.yaml:281-320):
@@ -335,7 +338,9 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
         thy = thy + sky * arcsec
 
     x_pix, y_pix, dxdz, dydz, flux = field_to_sensor(
-        keys[5], tel, ctx, thx, thy, pu, pv, wl, t, weight)
+        keys[5], tel, ctx, thx, thy, pu, pv, wl, t, weight,
+        apply_dcr=apply_dcr, apply_diffraction=apply_diffraction,
+        field_rotation=diffraction_field_rotation)
     return PhotonBatch(x=x_pix, y=y_pix, flux=flux, wavelength=wl,
                        dxdz=dxdz, dydz=dydz, pupil_u=pu, pupil_v=pv,
                        time=t, abs_len=labs)

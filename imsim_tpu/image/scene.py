@@ -188,7 +188,8 @@ def _fits_point_cloud(path: str, pixel_scale_as: float, theta_rad: float,
 def build_scene(table: ic.ObjectTable, bp: Bandpass, sed_dirs,
                 exptime: float = 30.0, pupil_area: float = ic.RUBIN_AREA,
                 rng: np.random.Generator | None = None,
-                pad_to: int | None = None) -> SceneHost:
+                pad_to: int | None = None,
+                max_flux: float | None = None) -> SceneHost:
     """Assemble device arrays + photon budget from a culled ObjectTable.
 
     Per-object realized flux = Poisson(nominal), the reference's phot_flux
@@ -229,6 +230,10 @@ def build_scene(table: ic.ObjectTable, bp: Bandpass, sed_dirs,
         wl[i] = hit[1]
     # lens magnification scales flux by mu (GSObject.lens semantics)
     nominal = nominal * np.abs(table.mu)
+    if max_flux is not None:
+        # skycat max_flux: objects brighter than the cap are skipped
+        # entirely (imsim/skycat.py getObj returns None above max_flux)
+        nominal = np.where(nominal > float(max_flux), 0.0, nominal)
     realized = rng.poisson(np.clip(nominal, 0, None)).astype(np.float64)
 
     n_pad = pad_to or max(int(2 ** np.ceil(np.log2(max(n, 1)))), 16)

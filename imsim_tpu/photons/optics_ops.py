@@ -128,10 +128,14 @@ def silicon_refraction(vx, vy, vz, wavelength_nm):
 
 def field_to_sensor(key, tel, ctx: OpticsContext, thx, thy, pupil_u,
                     pupil_v, wavelength_nm, time_s, flux,
-                    apply_dcr=True, apply_diffraction=True):
+                    apply_dcr=True, apply_diffraction=True,
+                    field_rotation=True):
     """The fused RubinDiffractionOptics(+DCR+Refraction) chain: field
     angles -> detector pixels + in-silicon slopes.  Returns
-    (x_pix, y_pix, dxdz, dydz, flux) with vignetted flux zeroed."""
+    (x_pix, y_pix, dxdz, dydz, flux) with vignetted flux zeroed.
+    The three flags are the photon-op config surface (stamp.photon_ops:
+    PhotonDCR presence, RubinDiffraction[Optics] presence, and its
+    disable_field_rotation option, imsim/photon_ops.py:184,231-250)."""
     if apply_dcr:
         thx, thy = dcr_kick(ctx, thx, thy, wavelength_nm)
     if apply_diffraction:
@@ -141,7 +145,8 @@ def field_to_sensor(key, tel, ctx: OpticsContext, thx, thy, pupil_u,
         dthx, dthy = D.apply_diffraction(
             key, pupil_u, pupil_v, dthx, dthy, wavelength_nm,
             t=time_s, latitude=ctx.latitude,
-            altitude=ctx.bore_alt, azimuth=ctx.bore_az)
+            altitude=ctx.bore_alt, azimuth=ctx.bore_az,
+            enable_field_rotation=field_rotation)
         thx = thx + dthx
         thy = thy + dthy
 

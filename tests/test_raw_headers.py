@@ -50,7 +50,20 @@ def _run_tiny_visit(tmp_path, det="R22_S11"):
         "output": {"dir": str(tmp_path), "camera": "LsstCamSim",
                    "only_dets": [det],
                    "file_name": "eimage.fits",
-                   "readout": {"file_name": "amp.fits"},
+                   "readout": {"file_name": "amp.fits",
+                               # user keywords with a $-eval, the
+                               # reference's added_keywords surface
+                               # (imsim/readout.py:574-585)
+                               "added_keywords": {
+                                   "TESTKEY1": "TESTVAL1",
+                                   "SOMEMATH": "$1+2"}},
+                   # eimage-header user extras
+                   # (imsim/ccd.py LSST_CCDBuilder 'header')
+                   "header": {"MYKEY": "myval"},
+                   # presence of the section activates the extra
+                   # output (GalSim extra-output semantics)
+                   "opd": {"file_name": "opd.fits", "nx": 33,
+                           "fields": [[0.0, 0.0]]},
                    "truth": {"enabled": False}},
     }
     ctx = build_visit_context(cfg)
@@ -67,12 +80,21 @@ def _run_tiny_visit(tmp_path, det="R22_S11"):
 
 
 def test_raw_file_headers_and_roundtrip(tmp_path):
+    import os
+
     ctx, ccd, eimage, outdir = _run_tiny_visit(tmp_path)
+    # output.header extras reach the eimage header
+    ehdr = read_fits(outdir + "/eimage.fits")[0][0]
+    assert ehdr["MYKEY"] == "myval"
+    # a configured output.opd section activates without enabled: true
+    assert os.path.isfile(outdir + "/opd.fits")
     hdus = read_fits(outdir + "/amp.fits")
     phdr = hdus[0][0]
     for key in DM_REQUIRED:
         assert key in phdr, f"missing DM keyword {key}"
     assert phdr["OBSID"] == "MC_S_" + phdr["DAYOBS"] + "_000042"
+    assert phdr["TESTKEY1"] == "TESTVAL1"
+    assert int(phdr["SOMEMATH"]) == 3
     assert phdr["FILTER"] == "r_57"
     assert phdr["INSTRUME"] == "LSSTCamSim"
     assert phdr["RAFTBAY"] == "R22"
