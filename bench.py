@@ -12,12 +12,23 @@ Prints ONE JSON line:
 vs_baseline = 10s / measured wall-clock (>1 beats the target).
 """
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent XLA compilation cache: the bench programs are identical
+# between runs, but a cold compile over the axon tunnel has taken
+# 10+ minutes on a bad day.  Slope timing is unaffected (compiles
+# happen before the timed region either way).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def build_synthetic_host(fac, ccd, n_obj=100_000, total_photons=1.0e8,

@@ -156,6 +156,45 @@ def _row_data(node, view):
     return row_data(node, view)
 
 
+# --- generic GalSim value types the reference's docs/configs lean on
+# (galsim.config value kinds; used for output.det_num, checkpoint and
+# process_info file names — doc/config.rst examples) -----------------
+
+
+@register_value("List")
+def _list_value(node, view):
+    items = [view.resolve(v) for v in node.get("items", [])]
+    if node.get("index") is not None:
+        return items[int(view.resolve(node["index"]))]
+    return items
+
+
+@register_value("FormattedStr")
+def _formatted_str(node, view):
+    fmt = str(view.resolve(node.get("format", "")))
+    items = tuple(view.resolve(v) for v in node.get("items", []))
+    return fmt % items
+
+
+@register_value("Sequence")
+def _sequence_value(node, view):
+    """Eager list semantics: the reference's per-index Sequence is used
+    for enumerations like output.det_num (first/nitems or first/last/
+    step); here the whole list materializes at once."""
+    first = int(view.resolve(node.get("first", 0)))
+    step = int(view.resolve(node.get("step", 1)))
+    if node.get("nitems") is not None:
+        n = int(view.resolve(node["nitems"]))
+        return list(range(first, first + n * step, step))
+    last = int(view.resolve(node.get("last", first)))
+    return list(range(first, last + (1 if step > 0 else -1), step))
+
+
+@register_value("Current")
+def _current_value(node, view):
+    return view.resolve("@" + str(node.get("key", "")))
+
+
 @register_photon_op("RubinOptics")
 def _rubin_optics(node, view):
     return dict(kind="optics", dcr=False, diffraction=False)

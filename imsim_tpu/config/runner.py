@@ -182,9 +182,15 @@ def _det_list(ctx: VisitContext):
         dets = [ctx.camera.det_num(d) for d in only]
     else:
         dets = out_cfg.get("det_num")
+        if isinstance(dets, dict):
+            # {type: List/Sequence, ...} forms from the reference's
+            # configs (doc/usage.rst output.det_num example)
+            dets = ctx.view.resolve(dets)
         if dets is None:
             dets = list(range(int(out_cfg.get("nfiles",
                                               len(ctx.camera.det_names)))))
+        if isinstance(dets, (int, np.integer)):
+            dets = [dets]
         dets = [int(d) for d in dets]
     # multi-job splitting (the galsim CLI's -n njobs -j job surface the
     # reference uses for cluster fan-out): job j of n renders every
@@ -197,6 +203,19 @@ def _det_list(ctx: VisitContext):
 
 
 def _format_name(template, ctx, det_name, det_num):
+    """File-name template -> name: {visit}/{band}/{det_name}/{det_num}
+    placeholders, or a {type: FormattedStr, ...} dict resolved with the
+    current detector in scope (the reference's per-file FormattedStr
+    usage, doc/config.rst checkpoint/process_info examples)."""
+    if isinstance(template, dict):
+        saved = {k: ctx.view.state.get(k) for k in ("det_name",
+                                                    "det_num")}
+        ctx.view.state["det_name"] = det_name
+        ctx.view.state["det_num"] = det_num
+        try:
+            template = ctx.view.resolve(template)
+        finally:
+            ctx.view.state.update(saved)
     return str(template).format(
         visit=int(ctx.opsim.get("observationId", 0)),
         band=ctx.opsim.get("band", "r"), det_name=det_name,
@@ -553,11 +572,24 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
     psf_type = psf_cfg.get("type", "AtmosphericPSF")
     if psf_type == "DoubleGaussianPSF":
         from ..photons.profiles import radial_cdf_from_mtf
-        f1 = float(psf_cfg.get("fwhm1", ctx.opsim.get("FWHMgeom", 0.6)))
-        f2 = float(psf_cfg.get("fwhm2", 2 * f1))
-        w1 = float(psf_cfg.get("wgt1", 0.8))
-        s1 = f1 / 2.3548200450309493
-        s2 = f2 / 2.3548200450309493
+        if psf_cfg.get("fwhm") is not None:
+            # the reference's required key: LSE-40 eq. 30 shape —
+            # alpha = fwhm/2.3835, sigma1 = sqrt(a^2 - pix^2/12),
+            # sigma2 = sqrt(4 a^2 - pix^2/12), mix 0.909*(g1 + 0.1 g2)
+            # (imsim/atmPSF.py:448-487)
+            alpha = float(psf_cfg["fwhm"]) / 2.3835
+            pix = float(psf_cfg.get("pixel_scale", 0.2))
+            s1 = np.sqrt(max(alpha ** 2 - pix ** 2 / 12.0, 1e-8))
+            s2 = np.sqrt(max(4 * alpha ** 2 - pix ** 2 / 12.0, 1e-8))
+            w1 = 1.0 / 1.1
+            f1, f2 = 2.3548200450309493 * s1, 2.3548200450309493 * s2
+        else:
+            f1 = float(psf_cfg.get("fwhm1",
+                                   ctx.opsim.get("FWHMgeom", 0.6)))
+            f2 = float(psf_cfg.get("fwhm2", 2 * f1))
+            w1 = float(psf_cfg.get("wgt1", 0.8))
+            s1 = f1 / 2.3548200450309493
+            s2 = f2 / 2.3548200450309493
         T = lambda k: (w1 * np.exp(-0.5 * (s1 * k) ** 2)
                        + (1 - w1) * np.exp(-0.5 * (s2 * k) ** 2))
         tab = radial_cdf_from_mtf(T, r_max=8 * f2, k_max=40.0 / f1)
