@@ -20,6 +20,11 @@ from ..optics.astrometry import RUBIN_LAT, gast, RUBIN_LON
 
 DEG = np.pi / 180.0
 
+# per-band effective wavelengths used by the FWHM derivations
+# (imsim/opsim_data.py:291)
+BAND_WL_EFF = dict(u=365.49, g=480.03, r=622.20, i=754.06, z=868.21,
+                   y=991.66)
+
 
 class OpsimData:
     """dict-like visit metadata with derived quantities."""
@@ -37,6 +42,33 @@ class OpsimData:
 
     def __contains__(self, k):
         return k in self.meta
+
+    # --- PSF-size helpers (imsim/opsim_data.py:242-325, the module-use
+    # API the reference's tests drive directly) ---------------------------
+    def getAirmass(self, altitude=None):
+        """Krisciunas & Schaefer 1991 eq 3 (opsim_data.py:242-260)."""
+        if altitude is None:
+            altitude = self.get("altitude")
+        return 1.0 / np.sqrt(1.0 - 0.96 * np.cos(altitude * DEG) ** 2)
+
+    def FWHMeff(self, rawSeeing=None, band=None, altitude=None):
+        """Effective single-Gaussian FWHM, LSST Document-20160 p.8
+        (opsim_data.py:262-301): raw zenith/500nm seeing scaled by
+        X^0.6 (wl/500)^-0.3, combined in quadrature with the LSE-30
+        worst-case instrument floor 0.4*X^0.6."""
+        X = self.getAirmass(altitude)
+        if band is None:
+            band = self.get("band")
+        if rawSeeing is None:
+            rawSeeing = self.get("rawSeeing")
+        wl = BAND_WL_EFF.get(band, 622.20)
+        fwhm_atm = rawSeeing * (wl / 500.0) ** (-0.3) * X ** 0.6
+        fwhm_sys = 0.4 * X ** 0.6
+        return 1.16 * np.sqrt(fwhm_sys ** 2 + 1.04 * fwhm_atm ** 2)
+
+    def FWHMgeom(self, rawSeeing=None, band=None, altitude=None):
+        """FWHMtot of the combined PSF (opsim_data.py:304-325)."""
+        return 0.822 * self.FWHMeff(rawSeeing, band, altitude) + 0.052
 
     # --- derivations (opsim_data.py:242-361) ------------------------------
     def _derive(self):
@@ -73,16 +105,9 @@ class OpsimData:
         # and combined with the system floor in quadrature)
         raw = m.get("seeingFwhm500", m.get("rawSeeing", 0.7))
         m["rawSeeing"] = raw
-        band_wl = dict(u=370.0, g=480.0, r=622.0, i=755.0, z=870.0,
-                       y=975.0)
-        wl = band_wl.get(m.get("band", "r"), 622.0)
-        X = m["airmass"]
-        fwhm_sys = 0.39862262 * X ** 0.6   # telescope floor (arcsec)
-        fwhm_atm = raw * X ** 0.6 * (wl / 500.0) ** (-0.3)
-        m.setdefault("FWHMeff", 1.16 * np.sqrt(fwhm_sys**2
-                                               + 1.04 * fwhm_atm**2))
-        f = m["FWHMeff"]
-        m.setdefault("FWHMgeom", 0.822 * f + 0.052)
+        m.setdefault("band", "r")
+        m.setdefault("FWHMeff", self.FWHMeff())
+        m.setdefault("FWHMgeom", 0.822 * m["FWHMeff"] + 0.052)
         m.setdefault("rotTelPos", m.get("rotTelPos", 0.0))
         m.setdefault("seed", int(m.get("observationId", 42)) % 2**31)
 

@@ -606,12 +606,19 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
     if pcfg.fft_sb_thresh > 0 and dfft_cfg.get("enabled", True):
         from ..image.diffraction_fft import spike_kernel
         from ..optics.astrometry import RUBIN_LAT
-        from ..photons.diffraction import field_rotation_rate
+        from ..photons.diffraction import field_rotation_angle
 
-        alt = float(ctx.opsim.get("altitude", 90.0)) * DEG
+        # clip below the zenith pole (the rotation angle is undefined
+        # AT alt=90, the runner default when opsim has no altitude)
+        alt = min(float(ctx.opsim.get("altitude", 90.0)), 89.9) * DEG
         az = float(ctx.opsim.get("azimuth", 0.0)) * DEG
-        rate = float(field_rotation_rate(RUBIN_LAT, alt, az))
-        smear_deg = abs(np.degrees(rate * exptime))
+        # exact field-rotation curve sampled over the exposure (the
+        # linearized rate diverges near zenith: alt 88 over 300 s is
+        # 17.8 deg exact vs 8.7 deg linear) — the kernel sweeps the
+        # same signed -theta(t) arc the photon path applies
+        ts = np.linspace(0.0, max(exptime, 1e-3), 24)
+        thetas = np.degrees(np.asarray(
+            field_rotation_angle(ts, RUBIN_LAT, alt, az)))
         # spider arms at 45 deg in the pupil, rotated by the telescope
         # rotator (reference: alpha = pi/4 - rottelpos)
         alpha_deg = 45.0 - float(ctx.opsim.get("rotTelPos", 0.0))
@@ -625,7 +632,7 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
         kern = spike_kernel(
             wavelength_nm=float(bandpass.effective_wavelength),
             pixel_scale=pcfg.pixel_scale, alpha_deg=alpha_deg,
-            rot_smear_deg=max(smear_deg, 1e-3), **kw_n)
+            rot_thetas_deg=tuple(np.round(thetas, 3)), **kw_n)
         spikes = dict(kernel=jnp.asarray(kern),
                       sat=float(dfft_cfg.get("brightness_threshold",
                                              ccd.full_well)))

@@ -85,13 +85,22 @@ def calibrate_spike_profile(wavelength_nm: float = 622.0,
 def spike_kernel(wavelength_nm: float = 622.0, pixel_scale: float = 0.2,
                  alpha_deg: float = 45.0, rot_smear_deg: float = 0.5,
                  n: int = 513, spike_flux_fraction: float = None,
-                 profile_power: float = None, r_scale_px: float = None):
+                 profile_power: float = None, r_scale_px: float = None,
+                 rot_thetas_deg: tuple = None):
     """(n, n) kernel: central delta (1 - f) + 4 spikes carrying f.
 
     Radial profile ~ Lorentzian^p in distance (the sinc^2 envelope of a
     strut, azimuthally averaged — the reference fits brightness =
     a / (b + (r/c)^2)^2 to photon-shooting output, :5-26).  The cross is
     rotated to the spider angle and smeared over the field rotation.
+
+    ``rot_thetas_deg``: field-rotation angles theta(t_i) sampled
+    uniformly in exposure time (SIGNED, from the exact curve
+    photons.diffraction.field_rotation_angle).  The arms sweep
+    alpha - theta(t) — the rotator tracks the sky, so the spider
+    rotates by -theta in camera coords, exactly as the photon path
+    applies it.  When omitted, ``rot_smear_deg`` gives a legacy
+    symmetric smear about alpha.
 
     By default the flux fraction, radial scale and power come from
     calibrate_spike_profile — i.e. from this framework's own
@@ -109,8 +118,12 @@ def spike_kernel(wavelength_nm: float = 622.0, pixel_scale: float = 0.2,
     c = n // 2
     yy, xx = np.mgrid[-c:c + 1, -c:c + 1]
     kern = np.zeros((n, n))
-    n_rot = max(int(rot_smear_deg / 0.1), 1)
-    for drot in np.linspace(-rot_smear_deg / 2, rot_smear_deg / 2, n_rot):
+    if rot_thetas_deg is not None:
+        rots = [-float(th) for th in rot_thetas_deg]
+    else:
+        n_rot = max(int(rot_smear_deg / 0.1), 1)
+        rots = np.linspace(-rot_smear_deg / 2, rot_smear_deg / 2, n_rot)
+    for drot in rots:
         for ang in np.radians(alpha_deg + drot) + np.arange(4) * np.pi / 2:
             ca, sa = np.cos(ang), np.sin(ang)
             along = xx * ca + yy * sa

@@ -111,19 +111,29 @@ def apply_diffraction(key, pupil_u, pupil_v, dxdz, dydz, wavelength_nm,
     The kick changes the transverse direction by d_tan_phi along the edge
     normal (imsim/diffraction.py:153-189), sampled as N(0, phi*^2).
 
-    Field rotation over the exposure is linearized (theta = rate * t):
-    exact-curve evaluation per photon costs two 3-vector cross products,
-    two norms and an atan2 for < 1e-5 rad of curvature over 30 s.
+    Field rotation: on an alt-az mount the rotator tracks the sky, so in
+    the (sky-fixed) photon frame the SPIDER rotates by -theta(t) over the
+    exposure (imsim/photon_ops.py:211-358 applies the same sweep; the
+    raytraced golden arrays in tests/data/fft-diffraction pin both the
+    sign and the nonlinearity).  theta(t) is evaluated on the EXACT curve
+    (field_rotation_angle) rather than rate*t: near zenith the curve is
+    strongly super-linear (alt 88 deg: 8.7 deg linearized vs 17.8 deg
+    exact over 300 s), and the exact form costs only a handful of VPU
+    flops per photon — arithmetic is free on this chip, gathers are not.
+    rot_rate short-circuits with the linear form (tests/microbenches).
     """
     if enable_field_rotation and t is not None and \
             (altitude is not None or rot_rate is not None):
         if rot_rate is None:
-            rot_rate = field_rotation_rate(latitude, altitude, azimuth)
-        theta = rot_rate * t
+            theta = field_rotation_angle(jnp.asarray(t), latitude,
+                                         altitude, azimuth)
+        else:
+            theta = rot_rate * t
+        # spider at -theta(t) in the photon frame: rotate the photon's
+        # pupil coords INTO the spider frame with R(+theta)...
         c, s = jnp.cos(theta), jnp.sin(theta)
-        # rotate pupil coords backwards, kick, rotate kick forward
-        pu = c * pupil_u + s * pupil_v
-        pv = -s * pupil_u + c * pupil_v
+        pu = c * pupil_u - s * pupil_v
+        pv = s * pupil_u + c * pupil_v
     else:
         c = jnp.ones_like(pupil_u)
         s = jnp.zeros_like(pupil_u)
@@ -135,7 +145,7 @@ def apply_diffraction(key, pupil_u, pupil_v, dxdz, dydz, wavelength_nm,
     kick = phi_star * jax.random.normal(key, pupil_u.shape)
     du = kick * nx
     dv = kick * ny
-    # rotate kick back to the sky frame
-    du_r = c * du - s * dv
-    dv_r = s * du + c * dv
+    # ...and rotate the kick back to the photon frame with R(-theta)
+    du_r = c * du + s * dv
+    dv_r = -s * du + c * dv
     return dxdz + du_r, dydz + dv_r

@@ -147,8 +147,15 @@ def field_to_sensor(key, tel, ctx: OpticsContext, thx, thy, pupil_u,
             t=time_s, latitude=ctx.latitude,
             altitude=ctx.bore_alt, azimuth=ctx.bore_az,
             enable_field_rotation=field_rotation)
-        thx = thx + dthx
-        thy = thy + dthy
+        # the kick is computed in the telescope (alt-az) frame, where
+        # the spider lives; (thx, thy) are CAMERA-frame field angles.
+        # Rotate the kick components alt-az -> camera (same R(-rotTelPos)
+        # the DCR zenith vector uses above), so spikes land at
+        # 45 deg - rotTelPos in pixel coords — the rotator turns the
+        # camera, not the spider (imsim/photon_ops.py:211-250;
+        # tests/test_diffraction_fft.py expects exactly this angle).
+        thx = thx + ctx.crot * dthx + ctx.srot * dthy
+        thy = thy + (-ctx.srot * dthx + ctx.crot * dthy)
 
     px, py, pz, vx, vy, vz = rays_from_field(jnp, thx, thy, pupil_u,
                                              pupil_v)

@@ -35,6 +35,22 @@ def test_opsim_from_dict_derivations():
     assert abs(data["mjd_mid"] - 60674.2 - 15.0 / 86400) < 1e-9
 
 
+def test_opsim_fwhm_golden_values():
+    """DC2 visit 197356 Run1.2p golden values, the reference's own
+    oracle (tests/test_FWHMgeom.py:20-60)."""
+    raw, band, alt = 0.5059960, "r", 52.54199126195116065
+    data = opsim.from_dict({})
+    assert abs(data.getAirmass(alt) - 1.24522984) < 5e-7
+    assert abs(data.FWHMeff(raw, band, alt) - 0.8300650) < 0.03
+    assert abs(data.FWHMgeom(raw, band, alt) - 0.7343130) < 0.03
+    # the from_dict route derives the same numbers
+    data2 = opsim.from_dict(dict(rawSeeing=raw, band=band, altitude=alt))
+    assert abs(data2.getAirmass() - 1.24522984) < 5e-7
+    assert abs(data2.FWHMeff() - 0.8300650) < 0.03
+    assert abs(data2["FWHMeff"] - 0.8300650) < 0.03
+    assert abs(data2["FWHMgeom"] - 0.7343130) < 0.03
+
+
 def test_opsim_instcat_header(tmp_path):
     p = tmp_path / "cat.txt"
     p.write_text("rightascension 31.11\ndeclination -10.0\n"

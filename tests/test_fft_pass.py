@@ -242,3 +242,74 @@ def test_fft_galaxy_vs_extreme_faint_threshold():
     assert peak_pt[0] > cfg.fft_sb_thresh      # point approx would trigger
     modes = classify_objects(gal, cfg, psf_mtf)
     assert modes[0] == PHOT                    # suppression kept it photon
+
+
+def test_photon_spike_orientation_tracks_rotator_and_field_rotation():
+    """End-to-end orientation parity of the PHOTON-path spikes: the
+    spider lives in the telescope frame, so spikes land at
+    45 deg - rotTelPos in pixel coords (imsim/photon_ops.py:211-250;
+    the reference's raytraced goldens in tests/data/fft-diffraction pin
+    the same), and field rotation sweeps them by -theta(t) on the exact
+    alt-az curve.  The FFT-overlay kernel uses the identical convention
+    (alpha = 45 - rotTelPos, arms at alpha - theta), so this also pins
+    photon-vs-overlay consistency."""
+    import jax
+
+    from imsim_tpu.electronics.camera import get_camera
+    from imsim_tpu.image.render import shoot_full
+    from imsim_tpu.image.scene import DeviceScene, WL_CDF_K
+    from imsim_tpu.optics.wcs_factory import make_wcs_factory
+    from imsim_tpu.photons.optics_ops import make_optics_context
+
+    DEG = np.pi / 180
+
+    def folded_angle(x, y, w, cx, cy, r_min=5.0, r_max=250.0):
+        dx, dy = x - cx, y - cy
+        r = np.hypot(dx, dy)
+        m = (r > r_min) & (r < r_max) & (w > 0)
+        a = np.arctan2(dy[m], dx[m]) % (np.pi / 2)
+        zm = np.exp(1j * 4 * a).mean()
+        return np.degrees(np.angle(zm) / 4) % 90
+
+    def shoot(rot_deg, ra_deg, dec_deg, exptime, fieldrot, n=1 << 21):
+        fac = make_wcs_factory(ra_deg * DEG, dec_deg * DEG, mjd=60674.2,
+                               band="r", rotTelPos=rot_deg * DEG)
+        ccd = get_camera("LsstCamSim")["R22_S11"]
+        wcs = fac.get_wcs(ccd)
+        ctx = make_optics_context(fac, ccd)
+        tel = fac.telescope.for_detector(ccd.det_name)
+        ra, dec = wcs.xy_to_radec(np.array([2000.0]), np.array([2000.0]))
+        thx, thy = fac.icrf_to_field(ra, dec)
+        wl = np.linspace(550.0, 690.0, WL_CDF_K, dtype=np.float32)
+        scene = DeviceScene.from_columns(
+            x=thx, y=thy, obj_type=np.zeros(1), p0=np.zeros(1),
+            p1=np.ones(1), p2=np.ones(1), p3=np.zeros(1),
+            g1=np.zeros(1), g2=np.zeros(1), mu=np.ones(1),
+            wl_icdf=np.broadcast_to(wl, (1, WL_CDF_K)))
+        obj = jnp.zeros((n,), jnp.int32)
+        wt = jnp.ones((n,), jnp.float32)
+        ph = jax.jit(lambda k: shoot_full(
+            k, scene, obj, wt, tel, ctx, exptime=exptime,
+            apply_dcr=False,
+            diffraction_field_rotation=fieldrot))(jax.random.PRNGKey(3))
+        x = np.asarray(ph.x)
+        y = np.asarray(ph.y)
+        w = np.asarray(ph.flux)
+        cx, cy = np.average(x, weights=w), np.average(y, weights=w)
+        return folded_angle(x, y, w, cx, cy), ctx
+
+    # rotator: spikes at 45 - rotTelPos (estimator noise ~1.5 deg:
+    # only ~5% of annulus photons are spike photons)
+    a20, _ = shoot(20.0, 30.0, -20.0, 30.0, False)
+    assert abs(a20 - 25.0) < 3.0, a20
+    # field rotation at a theta<0 pointing (az west of zenith): the
+    # -theta sweep must INCREASE the folded angle
+    a_rot, ctx = shoot(20.0, 100.0, -30.2446, 300.0, True)
+    from imsim_tpu.photons.diffraction import field_rotation_angle
+    ts = np.linspace(0.0, 300.0, 16)
+    th = np.degrees(np.asarray(field_rotation_angle(
+        ts, np.radians(-30.24463), float(ctx.bore_alt),
+        float(ctx.bore_az))))
+    expected = 25.0 - th.mean()
+    assert th.mean() < -3.0            # strongly rotating pointing
+    assert abs(a_rot - expected) < 3.0, (a_rot, expected)

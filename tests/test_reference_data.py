@@ -341,3 +341,116 @@ def test_reference_small_opsim_db():
     band = d.get("band", d.get("filter"))
     assert str(band) in list("ugrizy")
     assert float(d["airmass"]) >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Diffraction-spike statistics vs the reference's raytraced golden arrays
+# (tests/data/fft-diffraction/raytrace_diffraction_values_*.npz store the
+# folded spike angle, its circular stddev and the log-log radial-brightness
+# slope of the reference's RAYTRACED spikes at alt=88 deg, az=73.77 deg,
+# rotTelPos=20 deg; its own FFT overlay is required to match them —
+# tests/test_diffraction_fft.py:360-500).  The same statistics, measured
+# with independent implementations, must hold for this framework's spike
+# overlay.
+# ---------------------------------------------------------------------------
+
+def _folded_spike_stats(img, cx, cy, r_min=5.0):
+    """Brightness-weighted circular mean/stddev of pixel angles folded
+    mod 90 deg (the reference's folded_spike_angle statistic)."""
+    yy, xx = np.mgrid[: img.shape[0], : img.shape[1]]
+    dx, dy = xx - cx, yy - cy
+    r = np.hypot(dx, dy)
+    m = r > r_min
+    a = np.arctan2(dy[m], dx[m]) % (np.pi / 2)
+    w = np.clip(img[m], 0, None)
+    w = w / w.sum()
+    zm = (w * np.exp(1j * 4 * a)).sum()
+    mean = np.degrees(np.angle(zm) / 4) % 90
+    std = np.degrees(np.sqrt(-2 * np.log(abs(zm))) / 4)
+    return mean, std
+
+
+def _radial_brightness_slope(img, cx, cy, r_min=5.0):
+    """Log-log slope of the brightness-weighted radial distribution
+    (geometric bins), the reference's radial_brightness_asymptotics."""
+    yy, xx = np.mgrid[: img.shape[0], : img.shape[1]]
+    r = np.hypot(xx - cx, yy - cy)
+    b = np.clip(img, 0, None)
+    r_max = r[b > 1e-9 * b.max()].max()
+    edges = np.geomspace(r_min, r_max, 26)
+    hist, _ = np.histogram(r.ravel(), bins=edges, weights=b.ravel())
+    centers = np.sqrt(edges[:-1] * edges[1:])
+    dens = hist / np.diff(edges)
+    good = dens > 0
+    slope, _ = np.polyfit(np.log(centers[good]), np.log(dens[good]), 1)
+    return slope
+
+
+def _spike_image(rot_thetas_deg):
+    import jax.numpy as jnp
+
+    from imsim_tpu.image.diffraction_fft import apply_spikes, spike_kernel
+
+    N = 1001
+    c = N // 2
+    img = np.zeros((N, N), np.float32)
+    img[c, c] = 1e9                       # heavily saturated point
+    kern = spike_kernel(622.2, alpha_deg=45.0 - 20.0,
+                        rot_thetas_deg=rot_thetas_deg, n=513)
+    out = np.asarray(apply_spikes(jnp.asarray(img), jnp.asarray(kern),
+                                  1.0e5))
+    return out, c
+
+
+@needs_ref
+def test_spike_statistics_vs_raytrace_golden_0s():
+    d = np.load(os.path.join(
+        REF, "tests/data/fft-diffraction",
+        "raytrace_diffraction_values_0_exptime.npz"))
+    out, c = _spike_image(rot_thetas_deg=(0.0,))
+    ang, std = _folded_spike_stats(out, c, c)
+    slope = _radial_brightness_slope(out, c, c)
+    # the reference's own FFT-vs-raytrace tolerances (angle 1 deg,
+    # slope -2 +- 0.6); arm WIDTH (stddev) is renderer-specific — ours
+    # carries the calibrated lateral flare — so it gets a loose band
+    assert abs(ang - 25.0) < 1.0, ang                    # 45 - rotTelPos
+    assert abs(ang - np.degrees(float(d["angle"]))) < 1.5
+    assert abs(slope - (-2.0)) < 0.6
+    assert abs(slope - float(d["slope"])) < 0.5
+    assert abs(std - np.degrees(float(d["angle_stddev"]))) < 5.0
+
+
+@needs_ref
+def test_spike_statistics_vs_raytrace_golden_field_rotation():
+    """300 s near zenith: the folded mean must shift by the time-mean of
+    -theta(t) on the EXACT field-rotation curve (-7 deg here; the
+    linearized rate would give half that shift and none of the skew)."""
+    from imsim_tpu.photons.diffraction import field_rotation_angle
+
+    d = np.load(os.path.join(
+        REF, "tests/data/fft-diffraction",
+        "raytrace_diffraction_values_300_exptime.npz"))
+    lat = np.radians(-30.24463)
+    alt, az = np.radians(88.0), np.radians(73.7707957)
+    ts = np.linspace(0.0, 300.0, 24)
+    thetas = tuple(np.round(np.degrees(np.asarray(
+        field_rotation_angle(ts, lat, alt, az))), 3))
+    assert abs(thetas[-1] - 17.77) < 0.2    # exact curve, not 8.7 linear
+    out, c = _spike_image(rot_thetas_deg=thetas)
+    ang, std = _folded_spike_stats(out, c, c)
+    slope = _radial_brightness_slope(out, c, c)
+    golden_ang = np.degrees(float(d["angle"]))
+    assert abs(ang - golden_ang) < 2.5, (ang, golden_ang)   # ref tol
+    assert abs(slope - float(d["slope"])) < 0.5
+    # rotation broadens the folded distribution; the smear COMPONENT
+    # (quadrature difference vs the 0s case) must match the golden's
+    out0, c0 = _spike_image(rot_thetas_deg=(0.0,))
+    ang0, std0 = _folded_spike_stats(out0, c0, c0)
+    smear_ours = np.sqrt(max(std ** 2 - std0 ** 2, 0.0))
+    d0 = np.load(os.path.join(
+        REF, "tests/data/fft-diffraction",
+        "raytrace_diffraction_values_0_exptime.npz"))
+    smear_gold = np.sqrt(max(
+        np.degrees(float(d["angle_stddev"])) ** 2
+        - np.degrees(float(d0["angle_stddev"])) ** 2, 0.0))
+    assert abs(smear_ours - smear_gold) < 1.5, (smear_ours, smear_gold)
