@@ -154,9 +154,17 @@ def main():
     # time is the SLOPE (T(K2)-T(K1))/(K2-K1) -- constant overheads
     # cancel exactly.  Single dispatches stay under ~40 s of device
     # time (longer programs have crashed the TPU worker).
+    # static tree-ring field: once per visit (outside jit — the coarse
+    # stride derives from concrete wave params), folded into the
+    # continuity update inside accumulate_silicon, exactly as
+    # production render_ccd_pooled does once per CCD
+    from imsim_tpu.sensor.silicon import tree_ring_field
+    trf = None if os.environ.get("BENCH_NO_TRFOLD") \
+        else tree_ring_field(silicon, (ny, nx))
+
     @jax.jit
     def render_K_batches(key, scene, omap, cum, tel, ctx, scr, sk,
-                         sil, K):
+                         sil, trf, K):
         # K is a traced scalar: ONE compile serves every iteration
         # count (fori_loop with dynamic trip count)
         image = jnp.zeros((ny, nx), jnp.float32)
@@ -173,7 +181,7 @@ def main():
                             screens=scr, sk_table=sk, exptime=30.0,
                             row=row, pupil_pairing=PAIR)
             return accumulate_silicon(jax.random.fold_in(kb, 7), ph,
-                                      img, sil, nsub=4)
+                                      img, sil, nsub=4, tr_field=trf)
 
         image = jax.lax.fori_loop(0, K, batch, image)
         return image[2048, 2048]
@@ -196,7 +204,7 @@ def main():
         t0 = time.time()
         v = float(render_K_batches(jax.random.PRNGKey(seed), host.scene,
                                    obj_map, cum_dev, tel32, octx,
-                                   screens, sk_poly, silicon,
+                                   screens, sk_poly, silicon, trf,
                                    jnp.int32(K)))
         assert np.isfinite(v)
         return time.time() - t0

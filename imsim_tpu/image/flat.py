@@ -87,7 +87,7 @@ def build_flat(seed: int, cfg: FlatConfig,
 
 @partial(jax.jit, static_argnames=("n_phot", "nsub"))
 def _flat_photon_iteration(key, image, wl_icdf_row, params: SiliconParams,
-                           n_phot: int, nsub: int = 1):
+                           n_phot: int, nsub: int = 1, tr_field=None):
     """One photon-shooting iteration: n_phot uniform-position photons
     with SED-sampled wavelengths through the FULL silicon model
     (conversion depth, diffusion, tree rings, BF resume) — the
@@ -110,7 +110,8 @@ def _flat_photon_iteration(key, image, wl_icdf_row, params: SiliconParams,
     ph = PhotonBatch(x=x, y=y, flux=jnp.ones((n_phot,), jnp.float32),
                      wavelength=wl, dxdz=z, dydz=z, pupil_u=z,
                      pupil_v=z, time=z, abs_len=None)
-    return accumulate_silicon(k4, ph, image, params, nsub=nsub)
+    return accumulate_silicon(k4, ph, image, params, nsub=nsub,
+                              tr_field=tr_field)
 
 
 def build_flat_photons(seed: int, cfg: FlatConfig, wl_icdf,
@@ -147,11 +148,19 @@ def build_flat_photons(seed: int, cfg: FlatConfig, wl_icdf,
         if saved is not None:
             image = jnp.asarray(saved["image"])
             start = saved["next_iter"]
+    # static tree-ring field once for the whole flat (the flats are
+    # where the ring pattern is actually measured — the continuity-form
+    # fold reproduces the pixel-area modulation: div of the static
+    # displacement field, to first order)
+    tr_field = None
+    if params.tr_active:
+        from ..sensor.silicon import tree_ring_field
+        tr_field = tree_ring_field(params, (cfg.ysize, cfg.xsize))
     for k in range(start, n_iter):
         for s in range(n_sub):
             image = _flat_photon_iteration(
                 stream(seed, "flatphot", k * n_sub + s), image, wl_row,
-                params, per)
+                params, per, tr_field=tr_field)
         if checkpointer is not None and (k + 1) % 10 == 0:
             image.block_until_ready()
             checkpointer.save("flat_phot", dict(image=np.asarray(image),

@@ -385,6 +385,14 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
     psf_tables = {"kolmogorov": dataclasses.replace(
         kolm_as, y=jnp.asarray(kolm_as.y)), "gauss_sigma": gauss_sigma}
     cum_dev = jnp.asarray(cum)
+    # static tree-ring displacement field: computed ONCE per CCD and
+    # folded into the continuity-form image update inside each batch
+    # (sensor/silicon.py tree_ring_field — removes the per-photon
+    # 40-sinusoid evaluation from the hot loop)
+    tr_field = None
+    if silicon is not None and silicon.tr_active:
+        from ..sensor.silicon import tree_ring_field
+        tr_field = tree_ring_field(silicon, (cfg.ysize, cfg.xsize))
     for b in range(start_batch, nb):
         key = stream(seed, "photons", b)
         image, batch_realized = _pooled_batch_step(
@@ -395,7 +403,7 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
             cfg.exptime, cfg.pixel_scale, cfg.nsub, track_realized,
             pair, cfg.chromatic_exponent, cfg.wl_ref,
             cfg.apply_dcr, cfg.apply_diffraction,
-            cfg.diffraction_field_rotation)
+            cfg.diffraction_field_rotation, tr_field=tr_field)
         if batch_realized is not None:
             realized += np.asarray(batch_realized, np.float64)
         if checkpointer is not None and \
@@ -427,7 +435,8 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
                        wl_ref: float = 622.0,
                        apply_dcr: bool = True,
                        apply_diffraction: bool = True,
-                       diffraction_field_rotation: bool = True):
+                       diffraction_field_rotation: bool = True,
+                       tr_field=None):
     obj_idx, weight = batch_from_obj_map(obj_map, total, b, nb,
                                          batch_size, pair)
     # per-photon params via scatter+cumsum instead of a row-gather;
@@ -460,7 +469,7 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
             photons.flux, mode="drop")
     if silicon is not None:
         return accumulate_silicon(si_key, photons, image, silicon,
-                                  nsub=nsub), realized
+                                  nsub=nsub, tr_field=tr_field), realized
     return accumulate(photons, image), realized
 
 

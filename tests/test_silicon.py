@@ -150,3 +150,88 @@ def test_pallas_stencil_matches_xla_displacement_field():
     scale = float(jnp.max(jnp.abs(xx)))
     assert float(jnp.max(jnp.abs(px - xx))) < 1e-5 * scale
     assert float(jnp.max(jnp.abs(py - xy))) < 1e-5 * scale
+
+
+class _OneWaveModel:
+    """Synthetic tree-ring model: one strong sinusoid (period 40 px,
+    0.2 px displacement amplitude) for mode-equivalence tests."""
+    center = (-40.0, 50.0)
+    waves = np.array([[2 * np.pi / 40.0, 0.3, 1.0]], np.float32)
+    env = (1.0, 0.0, 0.2)
+    r = np.linspace(0.0, 8000.0, 2048)
+    profile = (0.2 * np.sin(2 * np.pi / 40.0 * r + 0.3)).astype(np.float32)
+
+
+def test_tree_ring_field_upsample_matches_direct():
+    """Coarse-grid + bilinear tree_ring_field must match the direct
+    per-pixel evaluation to ~1% of the displacement amplitude."""
+    params = si.SiliconParams.make(treering_model=_OneWaveModel())
+    # min period 40 -> derived stride 2; check a coarser stride too
+    assert si.tree_ring_step(params) == 2
+    fine = si.tree_ring_field(params, (96, 128), step=1)
+    for step in (2, si.tree_ring_step(params)):
+        coarse = si.tree_ring_field(params, (96, 128), step=step)
+        for a, b in zip(coarse, fine):
+            # linear-interp bound: (omega*h)^2/8 = 1.2% of amplitude
+            # at step 2 on a 40 px period
+            err = float(jnp.max(jnp.abs(a - b)))
+            assert err < 0.02 * 0.2, (step, err)
+
+
+def test_tree_ring_continuity_matches_photon_mode():
+    """Image-mode tree rings (static field folded into the continuity
+    update) must reproduce the per-photon displacement's ring pattern:
+    radially-binned flat illumination profiles agree on the ring
+    modulation."""
+    H = W = 100
+    params = si.SiliconParams.make(treering_model=_OneWaveModel(),
+                                   bf_strength=0.0)
+    assert params.tr_active
+    n = 4_000_000
+    k = jax.random.PRNGKey(11)
+    kx, ky, kacc = jax.random.split(k, 3)
+    x = jax.random.uniform(kx, (n,), minval=-0.5, maxval=W - 0.5)
+    y = jax.random.uniform(ky, (n,), minval=-0.5, maxval=H - 0.5)
+    z = jnp.zeros((n,), jnp.float32)
+    ph = PhotonBatch(x=x, y=y, flux=jnp.ones((n,), jnp.float32),
+                     wavelength=jnp.full((n,), 620.0, jnp.float32),
+                     dxdz=z, dydz=z, pupil_u=z, pupil_v=z, time=z)
+    img0 = jnp.zeros((H, W), jnp.float32)
+    ph_mode = si.accumulate_silicon(kacc, ph, img0, params, nsub=1)
+    field = si.tree_ring_field(params, (H, W))
+    im_mode = si.accumulate_silicon(kacc, ph, img0, params, nsub=1,
+                                    tr_field=field)
+
+    # radial profile around the ring center (rings are radial: annulus
+    # averaging kills the Poisson noise without blurring the pattern)
+    yy, xx = np.mgrid[:H, :W]
+    cx, cy = _OneWaveModel.center
+    r = np.hypot(xx - cx, yy - cy)
+    bins = np.arange(r.min() + 2, r.max() - 2, 1.0)
+    inner = (r >= bins[0]) & (r < bins[-1])
+
+    def prof(img):
+        a = np.asarray(img, np.float64)
+        idx = np.digitize(r[inner], bins)
+        s = np.bincount(idx, weights=a[inner], minlength=len(bins) + 1)
+        c = np.bincount(idx, minlength=len(bins) + 1)
+        return s[1:-1] / np.maximum(c[1:-1], 1)
+
+    p_ph = prof(ph_mode)
+    p_im = prof(im_mode)
+    mean = p_ph.mean()
+    mod_ph = p_ph - p_ph.mean()
+    mod_im = p_im - p_im.mean()
+    amp_ph = mod_ph.std() / mean
+    amp_im = mod_im.std() / mean
+    # the pattern must exist (3% modulation for 0.2 px @ period 40)
+    assert amp_ph > 0.01
+    # same amplitude within 15% and strongly correlated in phase
+    assert abs(amp_im - amp_ph) < 0.15 * amp_ph, (amp_ph, amp_im)
+    corr = np.corrcoef(mod_ph, mod_im)[0, 1]
+    assert corr > 0.95, corr
+    # charge conservation of the fold (the two modes differ only by
+    # boundary handling: displaced photons can cross the image edge,
+    # the continuity roll conserves exactly — a perimeter-band effect)
+    assert float(im_mode.sum()) == pytest.approx(float(ph_mode.sum()),
+                                                 rel=2e-3)
