@@ -346,13 +346,14 @@ def _input_atm_psf(node, view):
         screen_size=float(node.get("screen_size", 819.2)),
         screen_scale=float(node.get("screen_scale", 0.8)),
         altitude_deg=float(ods.get("altitude", 90.0)),
-        exptime=float(ods.get("exptime", 30.0)))
+        exptime=float(ods.get("exptime", 30.0)),
+        t0=float(node.get("t0", 0.0)))
     # save_file: reuse a previously built atmosphere when the file
     # exists, else build and persist (imsim/atmPSF.py:149-162)
     save_file = _data(node.get("save_file"))
     if save_file and os.path.isfile(save_file):
         from ..psf.atmosphere import load_screens
-        return atm_cfg, load_screens(save_file)
+        return atm_cfg, load_screens(save_file, t0=atm_cfg.t0)
     # private atmosphere seed: seed + 271828 (imsim/atmPSF.py:415)
     screens = make_screens(seed + 271828, atm_cfg)
     if save_file:

@@ -277,9 +277,20 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
 
         sp = SiliconParams.make(
             treering_model=ctx.tree_rings.get(det_name))
+        # counts_per_pixel, or countrate_per_pixel * exptime
+        # (imsim/flat.py:61-67; counts_per_pixel wins when both given)
+        if "counts_per_pixel" in img_cfg:
+            cpp = float(img_cfg["counts_per_pixel"])
+            if "countrate_per_pixel" in img_cfg and logger:
+                logger.warning(
+                    "Both countrate_per_pixel and counts_per_pixel "
+                    "given; using counts_per_pixel")
+        elif "countrate_per_pixel" in img_cfg:
+            cpp = float(img_cfg["countrate_per_pixel"]) * exptime
+        else:
+            cpp = 80_000.0
         fcfg = FlatConfig(
-            counts_per_pixel=float(img_cfg.get("counts_per_pixel",
-                                               80_000.0)),
+            counts_per_pixel=cpp,
             # the reference's key is max_counts_per_iter
             # (imsim/flat.py:44); counts_per_iter kept as an alias.
             # buffer_size/nx/ny section keys are accepted but moot:
@@ -897,16 +908,24 @@ def _extra_opd(ctx, result, node, det_name, det_num, outdir):
     wl = float(node.get("wavelength",
                         ctx.bandpass.effective_wavelength))
     tel = ctx.wcs_factory.telescope.fiducial
+    # annular-Zernike obscuration (imsim/opd.py `eps`, default the
+    # telescope pupil obscuration); sphereRadius is accepted and
+    # recorded — our OPD is referenced to the chief ray, so the
+    # reference-sphere radius only annotates the output
+    from ..optics.opd import OBSCURATION
+    eps = float(node.get("eps", OBSCURATION))
+    jmax = int(node.get("jmax", 28))
+    sph_rad = node.get("sphereRadius")
     hdus = [HDU(None, is_primary=True)]
     for (fx_deg, fy_deg) in fields:
         thx = fx_deg * DEG
         thy = fy_deg * DEG
         img, mask, _, _ = opd_map(tel, thx, thy, wl,
                                   nx=int(node.get("nx", 255)))
-        hdr = opd_fits_header(thx, thy, wl,
-                              jmax=int(node.get("jmax", 28)))
-        zk = annular_zernikes(tel, thx, thy, wl,
-                              jmax=int(node.get("jmax", 28)),
+        hdr = opd_fits_header(thx, thy, wl, jmax=jmax, eps=eps)
+        if sph_rad is not None:
+            hdr["SPH_RAD"] = float(sph_rad)
+        zk = annular_zernikes(tel, thx, thy, wl, jmax=jmax, eps=eps,
                               nx=65)
         for j, c in enumerate(zk, start=1):
             hdr[f"AZ_{j:03d}"] = float(c)

@@ -54,7 +54,7 @@ def opd_map(tel: Telescope, thx: float, thy: float,
 
 def annular_zernikes(tel: Telescope, thx: float, thy: float,
                      wavelength_nm: float = 622.0, jmax: int = 28,
-                     nx: int = 255):
+                     nx: int = 255, eps: float = None):
     """Annular-Zernike coefficients [nm] of the wavefront at one field
     angle (imsim/opd.py zernike output; `eps` = Rubin's 0.612).
 
@@ -62,9 +62,16 @@ def annular_zernikes(tel: Telescope, thx: float, thy: float,
     projection) the annular and circular bases span the same space; the
     coefficients returned are for the circular Noll basis evaluated on
     r/R_outer, which is what downstream consumers (AOS-style sensitivity
-    work) need to reproduce the wavefront."""
+    work) need to reproduce the wavefront.
+
+    eps: inner annulus fraction for the fit domain (imsim/opd.py `eps`
+    config key; default = the physical pupil obscuration, which the
+    trace mask already encodes — a LARGER user eps narrows the fit
+    annulus accordingly)."""
     img, mask, u, _ = opd_map(tel, thx, thy, wavelength_nm, nx)
     U, V = np.meshgrid(u, u)
+    if eps is not None and eps > OBSCURATION:
+        mask = mask & (np.hypot(U, V) >= eps * PUPIL_R_OUTER)
     x = (U[mask] / PUPIL_R_OUTER)
     y = (V[mask] / PUPIL_R_OUTER)
     return fit_zernikes(x, y, img[mask], jmax)

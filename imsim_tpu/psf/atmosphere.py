@@ -71,6 +71,11 @@ class AtmConfig:
     nlayers: int = 6
     altitude_deg: float = 90.0   # for airmass scaling of r0
     exptime: float = 30.0
+    # exposure start time offset (s) against the frozen-flow screens'
+    # origin (imsim/atmPSF.py t0): matters when a SAVED atmosphere is
+    # reused for a later snap of the same visit — the screens advect by
+    # wind * (t0 + t)
+    t0: float = 0.0
 
 
 @jax.tree_util.register_pytree_node_class
@@ -91,14 +96,17 @@ class AtmScreens:
     scale: float
     size: float
     packed: jax.Array = None
+    # exposure start offset (s): screens sampled at wind * (t0 + t)
+    t0: float = 0.0
 
     def tree_flatten(self):
         return (self.grad, self.winds, self.packed), (self.scale,
-                                                      self.size)
+                                                      self.size, self.t0)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1], children[2])
+        return cls(children[0], children[1], aux[0], aux[1], children[2],
+                   aux[2] if len(aux) > 2 else 0.0)
 
 
 def _screen_spectrum_amplitude(n, scale, r0, L0, kcrit_rad):
@@ -156,7 +164,7 @@ def make_screens(seed: int, cfg: AtmConfig,
     # kept for experiments.
     return AtmScreens(grad=grad, winds=jnp.asarray(winds, jnp.float32),
                       scale=cfg.screen_scale, size=cfg.screen_size,
-                      packed=None)
+                      packed=None, t0=cfg.t0)
 
 
 @jax.jit
@@ -200,10 +208,11 @@ def first_kick_angles(pupil_u, pupil_v, time, screens: AtmScreens,
     ddx = jnp.zeros_like(pupil_u)
     ddy = jnp.zeros_like(pupil_v)
     flat = screens.grad.reshape(L, n_tex * n_tex, 2)
+    t_eff = time + screens.t0 if screens.t0 else time
     for i in range(L):
         alt_m = LAYER_ALTITUDES_KM[i] * 1000.0
-        px = pupil_u + screens.winds[i, 0] * time + theta_x * alt_m
-        py = pupil_v + screens.winds[i, 1] * time + theta_y * alt_m
+        px = pupil_u + screens.winds[i, 0] * t_eff + theta_x * alt_m
+        py = pupil_v + screens.winds[i, 1] * t_eff + theta_y * alt_m
         ix = jnp.round(px / screens.scale).astype(jnp.int32) % n_tex
         iy = jnp.round(py / screens.scale).astype(jnp.int32) % n_tex
         lin = iy * n_tex + ix
@@ -242,12 +251,15 @@ def save_screens(path: str, screens: AtmScreens) -> None:
                         scale=screens.scale, size=screens.size)
 
 
-def load_screens(path: str) -> AtmScreens:
+def load_screens(path: str, t0: float = 0.0) -> AtmScreens:
+    """t0: start-time offset for this exposure against the saved
+    screens' origin (a saved atmosphere reused for a later snap passes
+    the snap's t0, imsim/atmPSF.py AtmLoader t0)."""
     z = np.load(path)
     grad = jnp.asarray(z["grad"])
     return AtmScreens(grad=grad, winds=jnp.asarray(z["winds"]),
                       scale=float(z["scale"]), size=float(z["size"]),
-                      packed=None)
+                      packed=None, t0=t0)
 
 
 def second_kick_table(cfg: AtmConfig, lam_nm: float, diam=8.36,

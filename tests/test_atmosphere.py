@@ -142,3 +142,47 @@ def test_chromatic_first_kick_scaling():
     s_red0 = spread(700.0, 0.0)
     assert s_blue > 1.10 * s_blue0, (s_blue, s_blue0)
     assert s_red < 0.95 * s_red0, (s_red, s_red0)
+
+
+def test_t0_offsets_screen_advection():
+    """input.atm_psf.t0 (imsim/atmPSF.py t0): a saved atmosphere reused
+    for a later snap sees screens advected by wind * (t0 + t) — kicks
+    with t0=dt at time t equal kicks with t0=0 at time t+dt."""
+    import dataclasses
+
+    cfg = atm.AtmConfig(fwhm=0.8, nlayers=2, screen_size=204.8)
+    scr0 = atm.make_screens(9, cfg, rng=np.random.default_rng(9))
+    assert scr0.t0 == 0.0
+    scr_dt = dataclasses.replace(scr0, t0=17.0)
+    n = 500
+    ph = _uniform_pupil(stream(3, "p"), n)
+    t = jnp.full((n,), 4.0)
+    dx_a, dy_a = atm.first_kick_angles(ph.pupil_u, ph.pupil_v, t, scr_dt)
+    dx_b, dy_b = atm.first_kick_angles(ph.pupil_u, ph.pupil_v,
+                                       t + 17.0, scr0)
+    np.testing.assert_allclose(np.asarray(dx_a), np.asarray(dx_b),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dy_a), np.asarray(dy_b),
+                               rtol=1e-6)
+    # and a nonzero offset actually moves the sample point (kicks are
+    # µrad-scale; require the difference to be a sizable fraction)
+    dx_c, _ = atm.first_kick_angles(ph.pupil_u, ph.pupil_v, t, scr0)
+    diff = float(jnp.mean(jnp.abs(dx_a - dx_c)))
+    scale = float(jnp.mean(jnp.abs(dx_c)))
+    assert diff > 0.2 * scale, (diff, scale)
+
+
+def test_t0_through_config_and_save_file(tmp_path):
+    """Registry path: input.atm_psf.t0 reaches the screens, including
+    the save_file reuse branch."""
+    from imsim_tpu.psf.atmosphere import load_screens, save_screens
+
+    cfg = atm.AtmConfig(fwhm=0.8, nlayers=2, screen_size=102.4, t0=38.0)
+    scr = atm.make_screens(5, cfg, rng=np.random.default_rng(5))
+    assert scr.t0 == 38.0
+    p = str(tmp_path / "atm.npz")
+    save_screens(p, scr)
+    re = load_screens(p, t0=38.0)
+    assert re.t0 == 38.0
+    np.testing.assert_allclose(np.asarray(re.grad),
+                               np.asarray(scr.grad))

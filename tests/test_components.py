@@ -292,3 +292,23 @@ def test_stamp_sizing_folding_threshold():
     ft = np.exp(np.floor(np.log(400.0 / 1e8)))
     r_needed = np.interp(1 - ft, E, r_grid)
     assert n_bright >= min(2 * r_needed / 0.2 * 0.9, 4096)
+
+
+def test_opd_eps_narrows_fit_annulus():
+    """output.opd.eps (imsim/opd.py `eps` key): a larger inner-annulus
+    fraction changes the Zernike fit domain and hence the coefficients;
+    eps below the physical obscuration is a no-op (the trace mask
+    already excludes the inner hole)."""
+    from imsim_tpu.optics.loader import load_telescope
+    from imsim_tpu.optics.opd import OBSCURATION, annular_zernikes
+
+    tel = load_telescope(band="r").fiducial
+    zk_def = annular_zernikes(tel, 0.0, 0.0, jmax=11, nx=65)
+    zk_below = annular_zernikes(tel, 0.0, 0.0, jmax=11, nx=65,
+                                eps=0.5 * OBSCURATION)
+    np.testing.assert_allclose(zk_below, zk_def)
+    zk_wide = annular_zernikes(tel, 0.0, 0.0, jmax=11, nx=65, eps=0.8)
+    assert np.all(np.isfinite(zk_wide))
+    # the design carries waves of balanced focus/spherical: restricting
+    # the annulus rebalances them, so the fits must differ measurably
+    assert float(np.max(np.abs(zk_wide - zk_def))) > 1.0

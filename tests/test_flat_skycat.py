@@ -244,3 +244,30 @@ def test_flat_photon_sed_via_runner(tmp_path):
     img = res[0]["eimage"]
     # flat SED x r-band: every wavelength converts; mean ~ nominal
     assert abs(img.mean() - 2.0) < 0.2
+
+
+def test_flat_countrate_per_pixel(tmp_path):
+    """image.countrate_per_pixel * exptime sets the flat level
+    (imsim/flat.py:61-67); counts_per_pixel wins when both are given."""
+    import numpy as np
+
+    from imsim_tpu.config.runner import run_visit
+
+    out = str(tmp_path / "out")
+    res = run_visit(
+        {"template": "imsim-config-flat"},
+        overrides=[
+            # default exptime 30 s -> 0.2 * 30 = 6 counts/px
+            "image.countrate_per_pixel=0.2",
+            "image.counts_per_iter=3",
+            "image.xsize=64", "image.ysize=64",
+            "input.atm_psf.screen_size=102.4",
+            "input.atm_psf.screen_scale=0.8",
+            f"output.dir={out}",
+            "output.det_num=[94]",
+            "output.file_name=flat_{det_name}.fits",
+        ])
+    img = np.asarray(res[0]["eimage"], np.float64)
+    mean = img.mean()
+    # Poisson mean 6 over 64x64 px -> sem ~ 6/sqrt(4096) ~ 0.04
+    assert abs(mean - 6.0) < 0.3, mean
