@@ -124,6 +124,7 @@ def main():
     # block antithetic pairing (photon_pooling docs); env override for
     # pairing experiments (benchmarks/pair_experiment.py)
     PAIR = int(os.environ.get("BENCH_PAIR", "4"))
+    SHARE = int(os.environ.get("BENCH_SHARE", "4")) if PAIR > 1 else 1
 
     # classification: the bright stars route to the FFT branch at the
     # template 2e5 e-/px threshold; everything else pools
@@ -139,14 +140,16 @@ def main():
                       0).astype(np.int64)
     total = int(counts.sum())
     total_photons = float(total)   # pooled photons (FFT stars excluded)
-    N = -(-(-(-total // NB)) // PAIR) * PAIR  # ceil(total/NB), pair-padded
+    PE = PAIR * SHARE
+    N = -(-(-(-total // NB)) // PE) * PE  # ceil(total/NB), layout-padded
     cum = np.zeros(host.scene.n, np.int32)
     cum[:host.n_objects] = np.cumsum(counts)
     cum[host.n_objects:] = cum[host.n_objects - 1]
     cum_dev = jnp.asarray(cum)
     obj_map = jax.jit(build_obj_map,
-                      static_argnames=("nb", "batch_size", "pair"))(
-        cum_dev, jnp.int32(total), NB, N, PAIR)
+                      static_argnames=("nb", "batch_size", "pair",
+                                       "share"))(
+        cum_dev, jnp.int32(total), NB, N, PAIR, SHARE)
 
     # HONEST TIMING on the axon tunnel: block_until_ready does NOT wait
     # on this backend and a value pull carries seconds of RPC overhead,
@@ -171,15 +174,17 @@ def main():
 
         def batch(b, img):
             obj_idx, w = batch_from_obj_map(omap, jnp.int32(total),
-                                            b % NB, NB, N, PAIR)
+                                            b % NB, NB, N, PAIR, SHARE)
             # gather-free per-photon params + wavelength-ICDF Chebyshev
             # rows (scatter + cumsum, block-paired layout)
             mat = jnp.concatenate([scene.params, scene.wl_cheb], axis=1)
-            row = materialize_rows(mat, cum, b % NB, NB, N, PAIR)
+            row = materialize_rows(mat, cum, b % NB, NB, N, PAIR,
+                                   SHARE)
             kb = jax.random.fold_in(key, b)
             ph = shoot_full(kb, scene, obj_idx, w, tel, ctx,
                             screens=scr, sk_table=sk, exptime=30.0,
-                            row=row, pupil_pairing=PAIR)
+                            row=row, pupil_pairing=PAIR,
+                            screen_share=SHARE)
             return accumulate_silicon(jax.random.fold_in(kb, 7), ph,
                                       img, sil, nsub=4, tr_field=trf)
 

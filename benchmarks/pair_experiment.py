@@ -70,27 +70,29 @@ def main(flux=100_000, trials=12):
     cum[0:] = N
     cum_dev = jnp.asarray(cum)
 
-    def render_one(key, pair):
+    def render_one(key, pair, share):
         omap = jax.jit(build_obj_map,
-                       static_argnames=("nb", "batch_size", "pair"))(
-            cum_dev, jnp.int32(N), 1, N, pair)
-        obj_idx, w = batch_from_obj_map(omap, jnp.int32(N), 0, 1, N, pair)
+                       static_argnames=("nb", "batch_size", "pair",
+                                        "share"))(
+            cum_dev, jnp.int32(N), 1, N, pair, share)
+        obj_idx, w = batch_from_obj_map(omap, jnp.int32(N), 0, 1, N,
+                                        pair, share)
         mat = jnp.concatenate([scene.params, scene.wl_cheb], axis=1)
-        row = materialize_rows(mat, cum_dev, 0, 1, N, pair)
+        row = materialize_rows(mat, cum_dev, 0, 1, N, pair, share)
         ph = shoot_full(key, scene, obj_idx, w, tel, octx,
                         screens=screens, sk_table=sk_poly, exptime=30.0,
-                        row=row, pupil_pairing=pair)
+                        row=row, pupil_pairing=pair, screen_share=share)
         img = jnp.zeros((4096, 4096), jnp.float32)
         return accumulate_silicon(jax.random.fold_in(key, 7), ph, img,
                                   silicon, nsub=2)
 
-    render_j = jax.jit(render_one, static_argnames=("pair",))
+    render_j = jax.jit(render_one, static_argnames=("pair", "share"))
 
-    for pair in (1, 4, 8):
+    for pair, share in ((1, 1), (4, 1), (4, 4), (8, 1)):
         sizes, cxs, stamps = [], [], []
         for t in range(trials):
             img = np.asarray(
-                render_j(jax.random.PRNGKey(1000 + t), pair))
+                render_j(jax.random.PRNGKey(1000 + t), pair, share))
             # stamp around the star
             iy, ix = np.unravel_index(np.argmax(
                 img[2048 - 64:2048 + 64, 2048 - 64:2048 + 64]), (128, 128))
@@ -109,7 +111,8 @@ def main(flux=100_000, trials=12):
         var = stamps.var(0, ddof=1)
         core = mean > np.percentile(mean, 99.0)
         excess = float((var[core] / np.maximum(mean[core], 1e-9)).mean())
-        print(f"pair={pair}: sigma_px mean={np.mean(sizes):.3f} "
+        print(f"pair={pair} share={share}: "
+              f"sigma_px mean={np.mean(sizes):.3f} "
               f"std={np.std(sizes):.3f}  centroid std={np.std(cxs):.3f} px"
               f"  pixel var/mean (core)={excess:.2f}")
 

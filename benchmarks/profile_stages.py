@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 PAIR = 4
+SHARE = int(os.environ.get("PROF_SHARE", "4"))
 
 
 def slope(fn, args, k1=1, k5=5):
@@ -141,6 +142,15 @@ def main():
                                      theta_x=thx, theta_y=thx)
         return jnp.sum(ddx) + jnp.sum(ddy)
 
+    def s_firstkick_strat(key, omap, cum, scene, screens, *_):
+        m = N // PAIR
+        pu, pv, t = pupil_time(key, m)
+        thx = jax.random.uniform(jax.random.fold_in(key, 9), (m,)) * 0.01
+        ddx, ddy = first_kick_angles(pu, pv, t, screens,
+                                     theta_x=thx, theta_y=thx,
+                                     share=SHARE)
+        return jnp.sum(ddx) + jnp.sum(ddy)
+
     def s_trace(key, omap, cum, scene, screens, sk_poly, silicon, tel32,
                 octx):
         pu, pv, t = pupil_time(key, N)
@@ -194,17 +204,28 @@ def main():
         return (jnp.sum(ph.x) + jnp.sum(ph.y) + jnp.sum(ph.flux)
                 + jnp.sum(ph.dxdz))
 
+    def s_shootfull_strat(key, omap, cum, scene, screens, sk_poly,
+                          silicon, tel32, octx):
+        obj_idx, w, row = rows_of(key, omap, cum, scene)
+        ph = shoot_full(key, scene, obj_idx, w, tel32, octx,
+                        screens=screens, sk_table=sk_poly, exptime=30.0,
+                        row=row, pupil_pairing=PAIR, screen_share=SHARE)
+        return (jnp.sum(ph.x) + jnp.sum(ph.y) + jnp.sum(ph.flux)
+                + jnp.sum(ph.dxdz))
+
     image = jnp.zeros((ny, nx), jnp.float32)
     stages = [
         ("rows+objmap+wl", loop(s_rows), big),
         ("intrinsic(sersic/knots)", loop(s_intrinsic), big),
         ("first-kick(6 layers, N/PAIR)", loop(s_firstkick), big),
+        ("first-kick stratified", loop(s_firstkick_strat), big),
         ("dcr+diffr+trace", loop(s_trace), big),
         ("scatter-add", loop(s_scatter), big + (image,)),
         ("disp-field conv x1", loop(s_dispfield), big + (image,)),
         ("silicon-displace only", loop(s_sili_disp), big),
         ("silicon-full nsub=4", loop(s_silicon_full), big + (image,)),
         ("shoot_full composed", loop(s_shootfull), big),
+        ("shoot_full strat-share", loop(s_shootfull_strat), big),
     ]
     print(f"N = {N}, PAIR = {PAIR}")
     for name, fn, args in stages:

@@ -66,6 +66,15 @@ class PoolingConfig:
     # pair=4 matches pair=1 delivered-PSF moments and per-pixel Poisson
     # variance; pair=8 doubles the speckle size dispersion, so don't.
     pupil_pairing: int = 4
+    # weak-layer screen-draw sharing factor ON TOP of pupil_pairing
+    # (stratified first kick, psf.atmosphere.first_kick_angles): layers
+    # below the strong-cumulative-weight cut share one gather among
+    # pair*screen_share adjacent photons.  The strong layers (~80% of
+    # the deflection variance) keep pair-granularity sampling, so the
+    # delivered-PSF dispersion stays at the pair=4 level while the
+    # first-kick gather count halves (benchmarks/pair_experiment.py,
+    # tests/test_pairing.py).
+    screen_share: int = 4
     # ChromaticAtmosphere scaling of the screen (first-kick) PSF:
     # kick *= (lambda/wl_ref)^chromatic_exponent per photon
     # (imsim/atmPSF.py:298-318, atm_psf.exponent; -0.3 = Kolmogorov)
@@ -178,7 +187,32 @@ def batch_obj_assignment(cum_counts, total, b, nb, batch_size):
     return obj, alive.astype(jnp.float32)
 
 
-def build_obj_map(cum_counts, total, nb, batch_size, pair: int = 1):
+def member_offsets(pair: int, share: int):
+    """Ordinal offsets of the two-level block layout's members.
+
+    The layout splits each batch into pair*share member blocks of
+    m' = batch_size // (pair*share) slots.  Slot block beta = h*share + r
+    (h in [0,pair), r in [0,share)) holds photon ordinals
+    j = (pair*share)*q + pair*r + h at within-block position q.  This
+    makes BOTH sharing granularities free outer-dim layout ops:
+
+      * pair mates (one pupil/time/strong-screen draw) sit at slots
+        {k, k+m, ...} with m = batch_size//pair — member 0 of every
+        pair is the contiguous slice [:m], broadcast = reshape;
+      * share groups (one weak-layer screen draw, see
+        psf.atmosphere.first_kick_angles) sit within that slice at
+        {q, q+m', ...} — representatives are the slice [:m'],
+        broadcast = reshape.
+
+    share=1 reduces to the round-2 block-paired layout (offsets = h).
+    """
+    return np.array([pair * r + h
+                     for h in range(pair) for r in range(share)],
+                    np.int32)
+
+
+def build_obj_map(cum_counts, total, nb, batch_size, pair: int = 1,
+                  share: int = 1):
     """(batch_size, nb) int32 photon->object map for a whole visit,
     built ONCE on device, so each batch's assignment is a contiguous
     column slice instead of a 17-step binary search (TPU random gathers
@@ -211,35 +245,39 @@ def build_obj_map(cum_counts, total, nb, batch_size, pair: int = 1):
     # dead tail (>= total) points at the last (padded) object
     g = jnp.arange(n_total, dtype=jnp.int32)
     obj_flat = jnp.where(g < total, obj_flat, n_obj - 1)
-    if pair == 1:
+    if pair == 1 and share == 1:
         # global index g = b + nb*s  ->  obj_map[s, b]
         return obj_flat.reshape(batch_size, nb)
-    # g = b + nb*(pair*k + h) -> obj_flat.reshape(m, pair, nb)[k, h, b];
-    # block layout wants [h*m + k, b]: one transpose, once per visit
-    m = batch_size // pair
-    return obj_flat.reshape(m, pair, nb).transpose(1, 0, 2).reshape(
-        batch_size, nb)
+    # g = b + nb*j with j = (pair*share)*q + pair*r + h
+    #   -> obj_flat.reshape(m', share, pair, nb)[q, r, h, b];
+    # slot layout wants [(h*share + r)*m' + q, b]: one transpose,
+    # once per visit (see member_offsets)
+    mp = batch_size // (pair * share)
+    return obj_flat.reshape(mp, share, pair, nb).transpose(
+        2, 1, 0, 3).reshape(batch_size, nb)
 
 
-def batch_from_obj_map(obj_map, total, b, nb, batch_size, pair: int = 1):
+def batch_from_obj_map(obj_map, total, b, nb, batch_size, pair: int = 1,
+                       share: int = 1):
     """Batch b's (obj_idx, weight) from the precomputed visit map:
     one strided column read + an iota compare (no random gathers)."""
     obj = jax.lax.dynamic_slice_in_dim(obj_map, b, 1, axis=1)[:, 0]
-    if pair == 1:
+    if pair == 1 and share == 1:
         s = jnp.arange(batch_size, dtype=jnp.int32)
         alive = (b + nb * s) < total
     else:
-        # slot s = h*m + k holds ordinal j = pair*k + h
-        m = batch_size // pair
-        k = jnp.arange(m, dtype=jnp.int32)
-        j = (pair * k)[None, :] + jnp.arange(pair,
-                                             dtype=jnp.int32)[:, None]
+        # slot beta*m' + q holds ordinal j = pair*share*q + off[beta]
+        pe = pair * share
+        mp = batch_size // pe
+        q = jnp.arange(mp, dtype=jnp.int32)
+        off = jnp.asarray(member_offsets(pair, share))
+        j = (pe * q)[None, :] + off[:, None]
         alive = (b + nb * j.reshape(batch_size)) < total
     return obj, alive.astype(jnp.float32)
 
 
 def materialize_rows(params, cum_counts, b, nb, batch_size,
-                     pair: int = 1):
+                     pair: int = 1, share: int = 1):
     """(batch_size, C) per-photon object parameters WITHOUT the
     per-photon row-gather (the gather costs ~8.6 ns/photon on this TPU
     = ~280 ms per 16.7M-photon batch; this is two streaming passes).
@@ -252,12 +290,18 @@ def materialize_rows(params, cum_counts, b, nb, batch_size,
     objects' deltas stack at the same slot — both exactly reproduce the
     gather.
 
-    With pair > 1 (block-paired layout, see build_obj_map) each of the
-    `pair` halves is an independent non-decreasing run: half h holds
-    ordinals j = pair*k + h, so object i's first slot in half h is
-    k_h = ceil((j0_i - h) / pair).  One scatter covers all halves
-    (slots h*m + k_h, clamped to the half), then a cumsum along the
-    within-half axis of the (pair, m, C) view.
+    With pair*share > 1 (two-level block layout, see build_obj_map /
+    member_offsets) the rows are materialized in ORDINAL order (photon
+    ordinal j is object-major, so one scatter + one long cumsum exactly
+    as the pair=1 case) and then reshaped/transposed into the slot
+    layout: ordinal j = pe*q + a*pair + h lands at slot
+    (h*share + a)*m' + q, i.e. reshape(m', share, pair, C) ->
+    transpose(2, 1, 0, 3).  Measured on v5e this beats the previous
+    per-member-block scatter (pe copies of the delta rows) by ~60 ms
+    per 16.7M-photon batch at pair=4 — the scatter cost is per
+    scattered ELEMENT (~pe * n_obj * C), while the transpose is one
+    streaming relayout — and is flat in `share` (435 -> 173 ms at
+    pair=4, share=4).
 
     f32 cumsum note: reconstruction error is bounded by the running
     cumsum rounding, ~1e-6 relative for ~0.01-rad field angles
@@ -272,22 +316,14 @@ def materialize_rows(params, cum_counts, b, nb, batch_size,
     j0 = jnp.maximum(-((b - starts) // nb), 0).astype(jnp.int32)
     deltas = params - jnp.concatenate(
         [jnp.zeros((1, C), params.dtype), params[:-1]])
-    if pair == 1:
-        rows = jnp.zeros((batch_size, C), params.dtype)
-        rows = rows.at[j0].add(deltas, mode="drop")
-        return jnp.cumsum(rows, axis=0)
-    m = batch_size // pair
-    slot_h = []
-    for h in range(pair):
-        k_h = jnp.maximum(-((h - j0) // pair), 0)  # ceil((j0-h)/pair)
-        # objects past this half's end must DROP, not spill into the
-        # next half: send them to an out-of-bounds slot
-        slot_h.append(jnp.where(k_h < m, h * m + k_h, batch_size))
-    slots = jnp.concatenate(slot_h)
     rows = jnp.zeros((batch_size, C), params.dtype)
-    rows = rows.at[slots].add(
-        jnp.concatenate([deltas] * pair, axis=0), mode="drop")
-    return jnp.cumsum(rows.reshape(pair, m, C), axis=1).reshape(
+    rows = rows.at[j0].add(deltas, mode="drop")
+    rows = jnp.cumsum(rows, axis=0)
+    pe = pair * share
+    if pe == 1:
+        return rows
+    mp = batch_size // pe
+    return rows.reshape(mp, share, pair, C).transpose(2, 1, 0, 3).reshape(
         batch_size, C)
 
 
@@ -310,9 +346,10 @@ def pooled_plan(host: SceneHost, modes, cfg: PoolingConfig):
     counts = np.where(sel, host.flux[:host.n_objects], 0).astype(np.int64)
     total = int(counts.sum())
     pair = max(cfg.pupil_pairing, 1)
+    share = max(cfg.screen_share, 1) if pair > 1 else 1
     nb = pick_nbatch(total, cfg) if total > 0 else 1
     batch_size = int(np.ceil(max(total, 1) / nb))
-    batch_size = -(-batch_size // pair) * pair
+    batch_size = -(-batch_size // (pair * share)) * (pair * share)
     cum = np.zeros(host.scene.n, np.int32)
     if host.n_objects:
         cum[:host.n_objects] = np.cumsum(counts)
@@ -379,8 +416,9 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
     if total == 0:
         return image, modes, realized
     pair = cfg.pupil_pairing
+    share = max(cfg.screen_share, 1) if pair > 1 else 1
     obj_map = _build_obj_map_jit(jnp.asarray(cum), jnp.int32(total), nb,
-                                 batch_size, pair)
+                                 batch_size, pair, share)
 
     psf_tables = {"kolmogorov": dataclasses.replace(
         kolm_as, y=jnp.asarray(kolm_as.y)), "gauss_sigma": gauss_sigma}
@@ -401,7 +439,7 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
             screens, sk_table, psf_tables["kolmogorov"],
             jnp.float32(gauss_sigma), silicon, image,
             cfg.exptime, cfg.pixel_scale, cfg.nsub, track_realized,
-            pair, cfg.chromatic_exponent, cfg.wl_ref,
+            pair, share, cfg.chromatic_exponent, cfg.wl_ref,
             cfg.apply_dcr, cfg.apply_diffraction,
             cfg.diffraction_field_rotation, tr_field=tr_field)
         if batch_realized is not None:
@@ -417,12 +455,12 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
 
 _build_obj_map_jit = jax.jit(build_obj_map,
                              static_argnames=("nb", "batch_size",
-                                              "pair"))
+                                              "pair", "share"))
 
 
 @partial(jax.jit, static_argnames=("nb", "batch_size", "exptime",
                                    "pixel_scale", "nsub",
-                                   "track_realized", "pair",
+                                   "track_realized", "pair", "share",
                                    "chromatic_exponent", "wl_ref",
                                    "apply_dcr", "apply_diffraction",
                                    "diffraction_field_rotation"))
@@ -431,6 +469,7 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
                        kolm_table, gauss_sigma, silicon, image,
                        exptime, pixel_scale, nsub,
                        track_realized: bool = False, pair: int = 1,
+                       share: int = 1,
                        chromatic_exponent: float = 0.0,
                        wl_ref: float = 622.0,
                        apply_dcr: bool = True,
@@ -438,7 +477,7 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
                        diffraction_field_rotation: bool = True,
                        tr_field=None):
     obj_idx, weight = batch_from_obj_map(obj_map, total, b, nb,
-                                         batch_size, pair)
+                                         batch_size, pair, share)
     # per-photon params via scatter+cumsum instead of a row-gather;
     # the per-object wavelength-ICDF Chebyshev coefficients ride in the
     # same materialization (extra columns are ~free: the scatter+cumsum
@@ -447,12 +486,12 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
     mat = scene.params if scene.wl_cheb is None else jnp.concatenate(
         [scene.params, scene.wl_cheb], axis=1)
     row = None if cum is None else materialize_rows(
-        mat, cum, b, nb, batch_size, pair)
+        mat, cum, b, nb, batch_size, pair, share)
     if tel is not None and ctx is not None:
         photons = render.shoot_full(
             key, scene, obj_idx, weight, tel, ctx, screens=screens,
             sk_table=sk_table, exptime=exptime, row=row,
-            pupil_pairing=pair,
+            pupil_pairing=pair, screen_share=share,
             chromatic_exponent=chromatic_exponent, wl_ref=wl_ref,
             apply_dcr=apply_dcr, apply_diffraction=apply_diffraction,
             diffraction_field_rotation=diffraction_field_rotation)

@@ -217,6 +217,7 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
                pupil_obscuration: float = 0.612,
                row: jax.Array = None,
                pupil_pairing: int = 1,
+               screen_share: int = 1,
                chromatic_exponent: float = 0.0,
                wl_ref: float = 622.0,
                apply_dcr: bool = True,
@@ -297,6 +298,11 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
         labs = None
 
     pair = pupil_pairing if n % pupil_pairing == 0 else 1
+    # weak-layer screen sharing needs the matching two-level block
+    # layout (photon_pooling.member_offsets); only meaningful with
+    # block pairing and a divisible batch
+    share = screen_share if (pair > 1 and n % (pair * screen_share) == 0) \
+        else 1
     m = n // pair
 
     def blk(x):
@@ -316,7 +322,7 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
     if screens is not None:
         ddx, ddy = first_kick_angles(pu_h, pv_h, t_h, screens,
                                      theta_x=thx[:m],
-                                     theta_y=thy[:m])
+                                     theta_y=thy[:m], share=share)
         if chromatic_exponent:
             # ChromaticAtmosphere scaling of the screen PSF
             # (imsim/atmPSF.py:298-318: alpha = atm_psf.exponent, -0.3

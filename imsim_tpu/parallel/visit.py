@@ -181,7 +181,8 @@ def run_visit_sharded(ctx_list, host_list, mesh: Mesh, cfg,
 def mesh_pooled_step(mesh: Mesh, nb: int, batch_size: int, pair: int,
                      n_phot: int, nsub: int, exptime: float,
                      chromatic_exponent: float, wl_ref: float,
-                     use_silicon: bool, use_optics: bool):
+                     use_silicon: bool, use_optics: bool,
+                     share: int = 1):
     """Jitted sharded production step: phot shard p of outer step k runs
     GLOBAL batch b = k*n_phot + p of the block-paired pooled loop —
     exactly the serial `_pooled_batch_step` per (ccd, batch), with the
@@ -223,16 +224,17 @@ def mesh_pooled_step(mesh: Mesh, nb: int, batch_size: int, pair: int,
         live = (b < nb).astype(jnp.float32)
         b_eff = jnp.minimum(b, nb - 1)
         obj_idx, w = batch_from_obj_map(obj_map, total, b_eff, nb,
-                                        batch_size, pair)
+                                        batch_size, pair, share)
         w = w * live
         mat = scene.params if scene.wl_cheb is None else jnp.concatenate(
             [scene.params, scene.wl_cheb], axis=1)
-        row = materialize_rows(mat, cum, b_eff, nb, batch_size, pair)
+        row = materialize_rows(mat, cum, b_eff, nb, batch_size, pair,
+                               share)
         if use_optics:
             photons = render.shoot_full(
                 key, scene, obj_idx, w, tel, octx, screens=screens,
                 sk_table=sk_table, exptime=exptime, row=row,
-                pupil_pairing=pair,
+                pupil_pairing=pair, screen_share=share,
                 chromatic_exponent=chromatic_exponent, wl_ref=wl_ref)
         else:
             from ..photons import profiles as Pr
@@ -355,9 +357,11 @@ def run_visit_mesh(ctx, dets, mesh_cfg, logger=None):
 
         # common static batch geometry for the block
         pair = pcfg0.pupil_pairing
+        share = max(pcfg0.screen_share, 1) if pair > 1 else 1
         nb = max(pl[2] for pl in plans)
         batch_size = max(pl[3] for pl in plans)
-        batch_size = -(-batch_size // max(pair, 1)) * max(pair, 1)
+        pe = max(pair, 1) * share
+        batch_size = -(-batch_size // pe) * pe
         n_pad = max(p.host.scene.n if p.host is not None else 1
                     for p in preps)
         m_pad = max(p.host.scene.aux_cloud.shape[0]
@@ -386,7 +390,8 @@ def run_visit_mesh(ctx, dets, mesh_cfg, logger=None):
         from ..image.photon_pooling import build_obj_map
         obj_maps = jax.jit(
             jax.vmap(partial(build_obj_map, nb=nb,
-                             batch_size=batch_size, pair=pair)),
+                             batch_size=batch_size, pair=pair,
+                             share=share)),
             in_shardings=(sh_ccd, sh_ccd), out_shardings=sh_ccd)(
             jax.device_put(jnp.asarray(cums), sh_ccd),
             jax.device_put(jnp.asarray(totals), sh_ccd))
@@ -397,7 +402,7 @@ def run_visit_mesh(ctx, dets, mesh_cfg, logger=None):
         step = mesh_pooled_step(
             mesh, nb, batch_size, pair, M, pcfg0.nsub, pcfg0.exptime,
             pcfg0.chromatic_exponent, pcfg0.wl_ref, use_silicon,
-            use_optics)
+            use_optics, share=share)
 
         # ---- block checkpoint (crash-safe mesh resume) ---------------
         blk_ckpt = None

@@ -98,15 +98,21 @@ class AtmScreens:
     packed: jax.Array = None
     # exposure start offset (s): screens sampled at wind * (t0 + t)
     t0: float = 0.0
+    # per-layer turbulence weights (STATIC python tuple, not a traced
+    # array): lets first_kick_angles partition layers into strong/weak
+    # at trace time for stratified draw sharing (see `share` there)
+    weights: tuple = None
 
     def tree_flatten(self):
         return (self.grad, self.winds, self.packed), (self.scale,
-                                                      self.size, self.t0)
+                                                      self.size, self.t0,
+                                                      self.weights)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], children[1], aux[0], aux[1], children[2],
-                   aux[2] if len(aux) > 2 else 0.0)
+                   aux[2] if len(aux) > 2 else 0.0,
+                   aux[3] if len(aux) > 3 else None)
 
 
 def _screen_spectrum_amplitude(n, scale, r0, L0, kcrit_rad):
@@ -164,7 +170,8 @@ def make_screens(seed: int, cfg: AtmConfig,
     # kept for experiments.
     return AtmScreens(grad=grad, winds=jnp.asarray(winds, jnp.float32),
                       scale=cfg.screen_scale, size=cfg.screen_size,
-                      packed=None, t0=cfg.t0)
+                      packed=None, t0=cfg.t0,
+                      weights=tuple(float(x) for x in w))
 
 
 @jax.jit
@@ -195,24 +202,69 @@ def _synthesize_screens(keys, A, scale, opd_per_rad):
     return jax.vmap(one)(keys, A)
 
 
+def strong_layer_mask(weights, strong_cum: float = 0.8):
+    """STATIC per-layer strong/weak partition: layers in descending
+    weight order are 'strong' until their cumulative weight reaches
+    `strong_cum` (at least one layer always strong).  Weak layers carry
+    the small remainder of the turbulence variance (deflection variance
+    per layer is proportional to its weight), so their screen draws can
+    be shared across more photons with negligible effect on the
+    delivered PSF — validated in benchmarks/pair_experiment.py."""
+    order = sorted(range(len(weights)), key=lambda i: -weights[i])
+    mask = [False] * len(weights)
+    acc = 0.0
+    for i in order:
+        mask[i] = True
+        acc += weights[i]
+        if acc >= strong_cum:
+            break
+    return tuple(mask)
+
+
 def first_kick_angles(pupil_u, pupil_v, time, screens: AtmScreens,
-                      theta_x=0.0, theta_y=0.0):
+                      theta_x=0.0, theta_y=0.0, share: int = 1,
+                      strong_cum: float = 0.8):
     """Geometric phase-screen deflection [radians] for every photon:
     for each layer, look up grad(OPD) at the wind-advected pupil position
     (+ the field-angle offset theta * altitude for off-axis objects).
     Nearest-texel sampling (screens are smooth at the 0.4 m scale);
     deflections are achromatic OPD gradients.  theta_* may be scalars or
-    per-photon arrays (pooled multi-object batches)."""
+    per-photon arrays (pooled multi-object batches).
+
+    share > 1 enables STRATIFIED draw sharing: strong layers (cumulative
+    weight >= strong_cum, typically the 2 lowest — ~80% of the
+    turbulence) gather one texel per input slot as before, while the
+    weak layers gather only for the first n//share slots and broadcast
+    that draw to groups of `share` slots.  Callers on the pooled
+    block-shared layout (photon_pooling.build_obj_map with matching
+    pair/share) arrange slots so the broadcast groups hold ADJACENT
+    global photons and the broadcast is a free outer-dim reshape.  The
+    weak-layer kick is then evaluated at the group representative's
+    pupil/time/field position; the other members borrow the value — a
+    statistically identical draw from the same stationary Gaussian
+    field carrying <= 1-strong_cum of the deflection variance.
+    Requires n % share == 0; falls back to share=1 when weights are
+    unavailable."""
     n_tex = screens.grad.shape[1]
     L = screens.grad.shape[0]
-    ddx = jnp.zeros_like(pupil_u)
-    ddy = jnp.zeros_like(pupil_v)
+    n = pupil_u.shape[0]
     flat = screens.grad.reshape(L, n_tex * n_tex, 2)
     t_eff = time + screens.t0 if screens.t0 else time
-    for i in range(L):
+    if share > 1 and screens.weights is not None and n % share == 0:
+        strong = strong_layer_mask(screens.weights, strong_cum)
+    else:
+        strong, share = (True,) * L, 1
+    ns = n // share
+    theta_x = jnp.broadcast_to(theta_x, (n,))
+    theta_y = jnp.broadcast_to(theta_y, (n,))
+    t_eff = jnp.broadcast_to(t_eff, (n,))
+
+    def layer_kick(i, sl):
         alt_m = LAYER_ALTITUDES_KM[i] * 1000.0
-        px = pupil_u + screens.winds[i, 0] * t_eff + theta_x * alt_m
-        py = pupil_v + screens.winds[i, 1] * t_eff + theta_y * alt_m
+        px = pupil_u[sl] + screens.winds[i, 0] * t_eff[sl] \
+            + theta_x[sl] * alt_m
+        py = pupil_v[sl] + screens.winds[i, 1] * t_eff[sl] \
+            + theta_y[sl] * alt_m
         ix = jnp.round(px / screens.scale).astype(jnp.int32) % n_tex
         iy = jnp.round(py / screens.scale).astype(jnp.int32) % n_tex
         lin = iy * n_tex + ix
@@ -223,12 +275,26 @@ def first_kick_angles(pupil_u, pupil_v, time, screens: AtmScreens,
                 (g32 & 0xFFFF).astype(jnp.uint16), jnp.float16)
             gy = jax.lax.bitcast_convert_type(
                 (g32 >> 16).astype(jnp.uint16), jnp.float16)
-            ddx = ddx + gx.astype(jnp.float32) * 1e-6
-            ddy = ddy + gy.astype(jnp.float32) * 1e-6
+            return (gx.astype(jnp.float32) * 1e-6,
+                    gy.astype(jnp.float32) * 1e-6)
+        g = flat[i][lin]                    # (N, 2) row gather
+        return g[:, 0], g[:, 1]
+
+    ddx = jnp.zeros_like(pupil_u)
+    ddy = jnp.zeros_like(pupil_v)
+    wx = wy = None
+    for i in range(L):
+        if strong[i]:
+            gx, gy = layer_kick(i, slice(None))
+            ddx, ddy = ddx + gx, ddy + gy
         else:
-            g = flat[i][lin]                # (N, 2) row gather
-            ddx = ddx + g[:, 0]
-            ddy = ddy + g[:, 1]
+            gx, gy = layer_kick(i, slice(0, ns))
+            wx = gx if wx is None else wx + gx
+            wy = gy if wy is None else wy + gy
+    if wx is not None:
+        # group q's draw lands on slots {r*ns + q}: outer-dim broadcast
+        ddx = ddx + jnp.broadcast_to(wx, (share, ns)).reshape(n)
+        ddy = ddy + jnp.broadcast_to(wy, (share, ns)).reshape(n)
     return ddx, ddy
 
 
@@ -246,9 +312,12 @@ def first_kick(photons: PhotonBatch, screens: AtmScreens,
 def save_screens(path: str, screens: AtmScreens) -> None:
     """Persist screens (the reference pickles its phase screens so a
     multi-CCD run instantiates them once, imsim/atmPSF.py:149-162)."""
+    kw = {}
+    if screens.weights is not None:
+        kw["weights"] = np.asarray(screens.weights)
     np.savez_compressed(path, grad=np.asarray(screens.grad),
                         winds=np.asarray(screens.winds),
-                        scale=screens.scale, size=screens.size)
+                        scale=screens.scale, size=screens.size, **kw)
 
 
 def load_screens(path: str, t0: float = 0.0) -> AtmScreens:
@@ -257,9 +326,10 @@ def load_screens(path: str, t0: float = 0.0) -> AtmScreens:
     the snap's t0, imsim/atmPSF.py AtmLoader t0)."""
     z = np.load(path)
     grad = jnp.asarray(z["grad"])
+    w = tuple(float(x) for x in z["weights"]) if "weights" in z else None
     return AtmScreens(grad=grad, winds=jnp.asarray(z["winds"]),
                       scale=float(z["scale"]), size=float(z["size"]),
-                      packed=None, t0=t0)
+                      packed=None, t0=t0, weights=w)
 
 
 def second_kick_table(cfg: AtmConfig, lam_nm: float, diam=8.36,

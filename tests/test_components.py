@@ -186,7 +186,8 @@ def test_materialize_rows_matches_gather():
     import jax.numpy as jnp
     from imsim_tpu.image.photon_pooling import (batch_from_obj_map,
                                                 build_obj_map,
-                                                materialize_rows)
+                                                materialize_rows,
+                                                member_offsets)
 
     rng = np.random.default_rng(3)
     counts = rng.integers(0, 40, 257)
@@ -196,26 +197,28 @@ def test_materialize_rows_matches_gather():
     total = int(cum[-1])
     params = (rng.normal(size=(257, 10)) * 0.01).astype(np.float32)
     nb = 4
-    for pair in (1, 2, 4):
+    for pair, share in ((1, 1), (2, 1), (4, 1), (4, 4), (2, 3)):
+        pe = pair * share
         bs = int(np.ceil(total / nb))
-        bs = -(-bs // pair) * pair
-        m = bs // pair
+        bs = -(-bs // pe) * pe
+        mp = bs // pe
         omap = build_obj_map(jnp.asarray(cum), jnp.int32(total), nb, bs,
-                             pair)
+                             pair, share)
         # ground truth: object of global photon g (object-major list)
         counts_ = np.diff(np.concatenate([[0], cum]))
         obj_of_g = np.repeat(np.arange(len(counts_)), counts_)
+        off = member_offsets(pair, share)
         for b in range(nb):
             obj, w = batch_from_obj_map(omap, jnp.int32(total), b, nb,
-                                        bs, pair)
+                                        bs, pair, share)
             got = np.asarray(materialize_rows(jnp.asarray(params),
                                               jnp.asarray(cum),
                                               jnp.int32(b), nb, bs,
-                                              pair))
+                                              pair, share))
             alive = np.asarray(w) > 0
-            # slot s holds ordinal j = pair*(s mod m) + s//m
+            # slot s = beta*mp + q holds ordinal j = pe*q + off[beta]
             s = np.arange(bs)
-            j = pair * (s % m) + s // m
+            j = pe * (s % mp) + off[s // mp]
             g = b + nb * j
             assert (alive == (g < total)).all()
             ref_obj = np.where(g < total, obj_of_g[np.minimum(g, total - 1)],
@@ -223,6 +226,15 @@ def test_materialize_rows_matches_gather():
             assert (np.asarray(obj)[alive] == ref_obj[alive]).all()
             ref = params[np.asarray(obj)]
             assert np.abs(got - ref)[alive].max() < 2e-6
+            if pair > 1:
+                # pair-mate sets must hold adjacent ordinals: member-0
+                # slice slot k = r*mp + q maps to pair group 4q + r
+                m = bs // pair
+                k = np.arange(m)
+                grp = j[:m] // pair
+                assert (np.sort(grp) == np.arange(m)).all()
+                for h in range(pair):
+                    assert (j[h * m + k] == pair * grp + h).all()
 
 
 def test_pooling_render_flux_and_resume(tmp_path):
