@@ -351,10 +351,16 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
     pieces = _sky_noise_pieces(ctx, prep)
     if pieces is not None:
         sky_level, grad, vig = pieces
+        # image.noise {type: CCD, gain, read_noise}: eimage-level noise
+        # surface (config/imsim-config.yaml:209-212; read noise defaults
+        # to 0 there — the raw-file readout chain adds its own)
+        n_cfg = ctx.cfg.get("image", {}).get("noise", {}) or {}
         image = _add_sky_and_noise(
             stream(ctx.seed, "sky", det_num), image,
             jnp.float32(sky_level), grad, jnp.asarray(vig, jnp.float32),
-            pcfg.pixel_scale)
+            pcfg.pixel_scale,
+            read_noise=float(n_cfg.get("read_noise", 0.0)),
+            gain=float(n_cfg.get("gain", 1.0)))
 
     # ---- cosmic rays (host, sparse) -------------------------------------------
     eimage = np.asarray(image)

@@ -48,15 +48,24 @@ def _render_batch(key, image, scene, obj_idx, weight, kolm_table,
     return accumulate(photons, image)
 
 
-@partial(jax.jit, static_argnames=("pixel_scale", "exact_poisson"))
+@partial(jax.jit, static_argnames=("pixel_scale", "exact_poisson",
+                                   "read_noise", "gain"))
 def _add_sky_and_noise(key, image, sky_per_arcsec2, gradient_abc,
-                       vignet_img, pixel_scale, exact_poisson=False):
+                       vignet_img, pixel_scale, exact_poisson=False,
+                       read_noise=0.0, gain=1.0):
     """Sky level (+ plane gradient + vignetting) with Poisson noise,
     mirroring imsim/lsst_image.py:128-200. Returns image in electrons.
 
     exact_poisson=False uses the Gaussian approximation (indistinguishable
     above ~30 e-/pixel, which any real sky exceeds); exact sampling is kept
-    for very dark simulations."""
+    for very dark simulations.
+
+    read_noise/gain mirror the `image.noise: {type: CCD}` surface
+    (config/imsim-config.yaml:209-212): object photons already carry
+    shot noise from photon shooting, so only the sky is
+    Poisson-sampled, plus an optional Gaussian read-noise floor of
+    read_noise/gain electrons (the template default is read_noise 0 —
+    'applied later' in the raw-file readout chain)."""
     H, W = image.shape
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
@@ -69,7 +78,12 @@ def _add_sky_and_noise(key, image, sky_per_arcsec2, gradient_abc,
         noisy_sky = jnp.round(
             sky + jnp.sqrt(jnp.maximum(sky, 0.0))
             * jax.random.normal(key, sky.shape, dtype=sky.dtype))
-    return image + noisy_sky
+    out = image + noisy_sky
+    if read_noise:
+        k2 = jax.random.fold_in(key, 1)
+        out = out + (read_noise / gain) * jax.random.normal(
+            k2, out.shape, dtype=out.dtype)
+    return out
 
 
 def render_ccd(seed: int, host: SceneHost, cfg: RenderConfig,

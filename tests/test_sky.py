@@ -131,3 +131,31 @@ def test_fringing_map_amplitude_and_skyline_surface():
     left = Z2[:, :200] - 1.0
     right = Z2[:, -200:] - 1.0
     assert right.std() > 1.5 * left.std()
+
+
+def test_eimage_read_noise_surface():
+    """image.noise {type: CCD, gain, read_noise}: the eimage noise stage
+    Poisson-samples only the sky (objects carry shot noise from photon
+    shooting) plus an optional read_noise/gain Gaussian floor — the
+    reference template runs read_noise 0 and defers read noise to the
+    raw-file chain (config/imsim-config.yaml:209-212)."""
+    import jax
+    import jax.numpy as jnp
+    from imsim_tpu.image.ccd_render import _add_sky_and_noise
+
+    key = jax.random.PRNGKey(5)
+    img = jnp.zeros((256, 256), jnp.float32)
+    grad = (jnp.float32(0), jnp.float32(0), jnp.float32(1))
+    vig = jnp.ones((256, 256), jnp.float32)
+    sky = 400.0  # e-/arcsec^2 -> 16 e-/pix at 0.2"
+    base = np.asarray(_add_sky_and_noise(key, img, jnp.float32(sky),
+                                         grad, vig, 0.2))
+    rn = np.asarray(_add_sky_and_noise(key, img, jnp.float32(sky),
+                                       grad, vig, 0.2,
+                                       read_noise=8.0, gain=2.0))
+    lvl = sky * 0.04
+    assert abs(base.mean() - lvl) < 0.2
+    assert abs(base.var() - lvl) < 0.1 * lvl + 0.3
+    # extra variance = (read_noise/gain)^2 = 16
+    extra = rn.var() - base.var()
+    assert abs(extra - 16.0) < 2.0
