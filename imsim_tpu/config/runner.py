@@ -110,6 +110,9 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
         weather["temperature_k"] = float(wcfg["temperature"])
     if wcfg.get("H2O_pressure") is not None:
         weather["h2o_pressure_kpa"] = float(wcfg["H2O_pressure"])
+    if wcfg.get("order") is not None:
+        # SIP fit order (imsim/batoid_wcs.py:429-453 default 3)
+        weather["order"] = int(wcfg["order"])
     fac = make_wcs_factory(ra, dec, float(ods.get("mjd_mid", 60674.0)),
                            band=band, telescope=telescope, **weather)
 

@@ -146,10 +146,11 @@ class WCSFactory:
 
 def make_wcs_factory(boresight_ra, boresight_dec, mjd, band="r",
                      rotTelPos=0.0, telescope: LoadedTelescope = None,
-                     wavelength_nm=None, **weather):
+                     wavelength_nm=None, order: int = 3, **weather):
     """One-call builder mirroring BatoidWCSBuilder defaults
     (imsim/batoid_wcs.py:568-640: T=280 K, pressure from the site
-    altitude, H2O 1 kPa, wavelength from the bandpass)."""
+    altitude, H2O 1 kPa, wavelength from the bandpass; SIP fit order 3
+    via `image.wcs.order`)."""
     from .loader import load_telescope
 
     BAND_WL = dict(u=370.0, g=480.0, r=622.0, i=755.0, z=870.0, y=975.0)
@@ -157,4 +158,4 @@ def make_wcs_factory(boresight_ra, boresight_dec, mjd, band="r",
     obs = Observation(boresight_ra, boresight_dec, mjd, wavelength_nm=wl,
                       **weather)
     tel = telescope or load_telescope(band=band, rotTelPos=rotTelPos)
-    return WCSFactory(obs, tel, wavelength_nm=wl)
+    return WCSFactory(obs, tel, wavelength_nm=wl, order=order)

@@ -269,3 +269,25 @@ def test_readout_level_overrides(tmp_path):
     med = float(np.median(amps))
     assert abs(med - 2500.0) < 2.0
     assert float(np.std(amps.astype(float))) < 2.0
+
+
+def test_wcs_sip_order_key():
+    """image.wcs.order controls the TAN-SIP fit order
+    (imsim/batoid_wcs.py:429-453, FittedSIPWCS order=3 default)."""
+    import numpy as np
+    from imsim_tpu.optics.wcs_factory import make_wcs_factory
+    from imsim_tpu.electronics.camera import get_camera
+
+    DEG = np.pi / 180
+    ccd = get_camera("LsstCamSim")["R22_S11"]
+    f3 = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")
+    f2 = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r",
+                          order=2, telescope=f3.telescope)
+    w3 = f3.get_wcs(ccd)
+    w2 = f2.get_wcs(ccd)
+    assert w3.order == 3
+    assert w2.order == 2
+    # both fits still agree at the pixel level in the CCD interior
+    ra3, dec3 = w3.xy_to_radec(2048.0, 2048.0)
+    ra2, dec2 = w2.xy_to_radec(2048.0, 2048.0)
+    assert abs(ra3 - ra2) < 1e-6 and abs(dec3 - dec2) < 1e-6
