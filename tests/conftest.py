@@ -39,6 +39,7 @@ import pytest  # noqa: E402
 # splits the same way: unit tests vs its CI visit drives).
 _SLOW_FILES = {
     "test_mesh_visit.py",
+    "test_mesh_sizes.py",
     "test_multidet.py",
     "test_end_to_end.py",
     "test_config_pipeline.py",
