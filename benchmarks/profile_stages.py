@@ -65,7 +65,8 @@ def main():
     from imsim_tpu.sensor.silicon import (SiliconParams,
                                           accumulate_silicon,
                                           apply_silicon_displacements,
-                                          displacement_field)
+                                          displacement_field,
+                                          tree_ring_field)
     from imsim_tpu.sensor.simple import accumulate
     from imsim_tpu.sensor.treerings import TreeRings
     from imsim_tpu.utils.lookup import PolyCDF
@@ -195,6 +196,21 @@ def main():
                                  nsub=4)
         return img[2048, 2048]
 
+    def s_silicon_prod(key, omap, cum, scene, screens, sk_poly, silicon,
+                       tel32, octx, image, trf):
+        # Production formulation: tree rings folded as a static field,
+        # absorption length prefetched (rides in the batch), so the
+        # per-photon stage is depth + diffusion + BF continuity only.
+        from imsim_tpu.sensor.silicon import _table_lookup
+        ph = make_batch(key)
+        labs = _table_lookup(silicon.abs_y, 250.0,
+                             (1100.0 - 250.0) / (silicon.abs_y.shape[0] - 1),
+                             ph.wavelength)
+        ph = ph.replace(abs_len=labs)
+        img = accumulate_silicon(key, ph, image, silicon, nsub=4,
+                                 tr_field=trf)
+        return img[2048, 2048]
+
     def s_shootfull(key, omap, cum, scene, screens, sk_poly, silicon,
                     tel32, octx):
         obj_idx, w, row = rows_of(key, omap, cum, scene)
@@ -224,6 +240,9 @@ def main():
         ("disp-field conv x1", loop(s_dispfield), big + (image,)),
         ("silicon-displace only", loop(s_sili_disp), big),
         ("silicon-full nsub=4", loop(s_silicon_full), big + (image,)),
+        ("silicon-full production", loop(s_silicon_prod),
+         big + (image, tuple(jnp.asarray(a) for a in
+                             tree_ring_field(silicon, image.shape)))),
         ("shoot_full composed", loop(s_shootfull), big),
         ("shoot_full strat-share", loop(s_shootfull_strat), big),
     ]
