@@ -14,12 +14,13 @@ import jax.numpy as jnp
 N = 16_777_216
 
 
+from _util import slope as _slope  # noqa: E402
+
+
 def slope(fn, *args):
-    fn(*args, jnp.int32(1)).block_until_ready()
-    t0 = time.time(); v = float(fn(*args, jnp.int32(1))); t1 = time.time()
-    v2 = float(fn(*args, jnp.int32(5))); t2 = time.time()
-    assert np.isfinite(v) and np.isfinite(v2)
-    return ((t2 - t1) - (t1 - t0)) / 4.0
+    # Shared timer expects fn(key, K, *args); these kernels don't take
+    # a key, so thread args through and ignore the key.
+    return _slope(lambda key, K, *a: fn(*a, K), args)
 
 
 def bench_gather(table_rows, width, dtype, pack=False):

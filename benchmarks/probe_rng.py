@@ -25,16 +25,7 @@ import jax.numpy as jnp
 N = 1 << 24
 
 
-def slope(fn, k1=1, k5=5):
-    def timed(K, seed):
-        t0 = time.time()
-        v = float(fn(jax.random.PRNGKey(seed), jnp.int32(K)))
-        assert np.isfinite(v), v
-        return time.time() - t0
-    timed(k1, 0)
-    t1 = timed(k1, 1)
-    t5 = timed(k5, 2)
-    return max((t5 - t1) / (k5 - k1), 1e-5)
+from _util import slope  # noqa: E402
 
 
 def _rbg(key):

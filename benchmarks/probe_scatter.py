@@ -29,16 +29,7 @@ N = 1 << 24           # 16.7M photons
 H = W = 4096
 
 
-def slope(fn, k1=1, k5=5):
-    def timed(K, seed):
-        t0 = time.time()
-        v = float(fn(jax.random.PRNGKey(seed), jnp.int32(K)))
-        assert np.isfinite(v), v
-        return time.time() - t0
-    timed(k1, 0)
-    t1 = timed(k1, 1)
-    t5 = timed(k5, 2)
-    return max((t5 - t1) / (k5 - k1), 1e-5)
+from _util import slope  # noqa: E402
 
 
 def make(variant):
@@ -86,7 +77,8 @@ def make(variant):
 
 
 if __name__ == "__main__":
-    variants = sys.argv[1:] or ["flat1d", "idx2d", "split8", "ones_i32"]
+    variants = sys.argv[1:] or ["flat1d", "idx2d", "split8", "ones_i32",
+                                "rowmajor"]
     for v in variants:
         s = slope(make(v))
         print(f"{v:10s} {s*1e3:8.1f} ms/iter  ({s/N*1e9:5.2f} ns/photon)",

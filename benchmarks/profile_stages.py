@@ -36,18 +36,7 @@ PAIR = 4
 SHARE = int(os.environ.get("PROF_SHARE", "4"))
 
 
-def slope(fn, args, k1=1, k5=5):
-    """Compile once; return per-iteration seconds via the slope method."""
-    def timed(K, seed):
-        t0 = time.time()
-        v = float(fn(jax.random.PRNGKey(seed), jnp.int32(K), *args))
-        assert np.isfinite(v), v
-        return time.time() - t0
-
-    timed(k1, 0)
-    t1 = timed(k1, 1)
-    t5 = timed(k5, 2)
-    return max((t5 - t1) / (k5 - k1), 1e-5)
+from _util import slope  # noqa: E402
 
 
 def main():
@@ -201,11 +190,15 @@ def main():
         # Production formulation: tree rings folded as a static field,
         # absorption length prefetched (rides in the batch), so the
         # per-photon stage is depth + diffusion + BF continuity only.
-        from imsim_tpu.sensor.silicon import _table_lookup
+        from imsim_tpu.sensor.silicon import (ABS_TABLE_MAX_NM,
+                                              ABS_TABLE_MIN_NM,
+                                              _table_lookup)
         ph = make_batch(key)
-        labs = _table_lookup(silicon.abs_y, 250.0,
-                             (1100.0 - 250.0) / (silicon.abs_y.shape[0] - 1),
-                             ph.wavelength)
+        labs = _table_lookup(
+            silicon.abs_y, ABS_TABLE_MIN_NM,
+            (ABS_TABLE_MAX_NM - ABS_TABLE_MIN_NM)
+            / (silicon.abs_y.shape[0] - 1),
+            ph.wavelength)
         ph = ph.replace(abs_len=labs)
         img = accumulate_silicon(key, ph, image, silicon, nsub=4,
                                  tr_field=trf)

@@ -532,7 +532,12 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
     ckpt = None
     ck_cfg = cfg.get("input", {}).get("checkpoint", {}) or {}
     if ck_cfg.get("dir"):
-        fname = ck_cfg.get("file_name") or "checkpoint_{det_name}.h5"
+        # Visit/band/detector-keyed default, matching the reference's
+        # checkpoint_%08d-%s-%s.hdf (config/imsim-config.yaml:120-128):
+        # two visits sharing a checkpoint dir must never resume each
+        # other's files.
+        fname = (ck_cfg.get("file_name")
+                 or "checkpoint_{visit:08d}-{band}-{det_name}.h5")
         ckpt = Checkpointer(_format_name(fname, ctx, det_name, det_num),
                             dir=ck_cfg["dir"])
     apply_dcr, apply_diff, field_rot = parse_photon_ops(

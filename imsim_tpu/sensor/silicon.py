@@ -51,10 +51,18 @@ _ABS_LEN_UM = np.array([0.006, 0.006, 0.01, 0.1, 0.4, 0.9, 1.7, 2.9, 4.5,
                         2000.0], float)
 
 
+# Domain of the absorption lookup table; shared with the profiling
+# harness (benchmarks/profile_stages.py) so both always index the same
+# table layout.
+ABS_TABLE_MIN_NM = 250.0
+ABS_TABLE_MAX_NM = 1100.0
+
+
 def absorption_length_table():
-    grid = np.linspace(250.0, 1100.0, 256)
+    grid = np.linspace(ABS_TABLE_MIN_NM, ABS_TABLE_MAX_NM, 256)
     vals = 10 ** np.interp(grid, _ABS_WAVE, np.log10(_ABS_LEN_UM))
-    return UniformTable(250.0, grid[1] - grid[0], vals.astype(np.float32))
+    return UniformTable(ABS_TABLE_MIN_NM, grid[1] - grid[0],
+                        vals.astype(np.float32))
 
 
 _ABS_CHEB = None

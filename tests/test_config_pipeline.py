@@ -164,7 +164,10 @@ def test_visit_checkpoint_resume(tmp_path, instcat, sed_dir):
     # modulo sky/CR noise streams which are re-applied... so compare the
     # checkpointed photon image instead
     from imsim_tpu.io.checkpoint import Checkpointer
-    ck = Checkpointer(str(tmp_path / "ck" / "checkpoint_R22_S11.h5"))
+    # Default names are visit/band/detector-keyed (checkpoint_VVVVVVVV-
+    # b-DET.h5) so concurrent visits can share a checkpoint dir.
+    (ck_file,) = (tmp_path / "ck").glob("checkpoint_*-*-R22_S11.h5")
+    ck = Checkpointer(str(ck_file))
     saved = ck.load("pooled")
     assert saved is not None and saved["next_batch"] >= 2
     assert saved["image"].sum() > 0
