@@ -2,14 +2,21 @@
 //
 // The reference writes per-amp RICE_1-compressed int32 HDUs through
 // astropy/cfitsio (imsim/readout.py:479-526).  This is a from-scratch
-// implementation of the same public format (Rice 1993 adaptive Golomb
-// coding as specified by the FITS Tiled Image Compression convention):
+// implementation of the interchange format defined by the FITS 4.0
+// standard (section "Rice compression") and Rice/Yeh/Miller 1993, as
+// produced/consumed by cfitsio's fits_rcomp/fits_rdecomp:
 //   stream := first_pixel (bbits big-endian) , blocks*
-//   block  := fs_field(5 bits) , payload
-//     fs_field = 0        -> 32 zero diffs
-//     fs_field = fsmax+2  -> 32 raw bbits values
-//     else fs = fs_field-1: per pixel, (mapped>>fs) zero bits + '1',
-//                           then fs low bits;  mapped = zigzag(diff)
+//     blocks cover ALL nx pixels from index 0 (the first encoded
+//     difference is therefore always a[0]-a[0] = 0)
+//   block  := fs_code(5 bits) , payload    (fs = fs_code - 1)
+//     fs_code = 0          -> 32 zero diffs (pixels repeat lastpix)
+//     fs_code = fsmax+1=26 -> 32 mapped diffs raw at bbits each
+//     else per pixel: (mapped>>fs) zero bits + '1', then fs low bits
+//   mapped = zigzag(diff):  d>=0 -> 2d,  d<0 -> 2|d|-1
+// The fs choice follows cfitsio's statistic (mean-based, computed in
+// double) so the emitted bitstream is what cfitsio itself would write;
+// tests/test_rice_interop.py pins this against an independent
+// pure-Python transcription of the published algorithm.
 //
 // Build: g++ -O3 -shared -fPIC rice.cc -o _rice.so   (see rice.py)
 #include <cstdint>
@@ -101,7 +108,9 @@ struct BitReader {
 
 extern "C" {
 
-// Compress n int32 pixels; out must have room for 8 + 5*n bytes.
+// Compress n int32 pixels; out must have room for 8 + 5*n bytes
+// (the cfitsio fs statistic bounds the unary spend at < 2 bits/pixel
+// above the 1+fs budget, and raw blocks cost 32.16 bits/pixel).
 // Returns compressed size in bytes.
 long rice_encode_i32(const int32_t* a, long n, uint8_t* out_buf) {
   if (n <= 0) return 0;
@@ -113,37 +122,38 @@ long rice_encode_i32(const int32_t* a, long n, uint8_t* out_buf) {
   out_buf[3] = uint8_t(u);
   BitWriter bw(out_buf + 4);
   std::vector<uint32_t> mapped(NBLOCK);
-  for (long start = 1; start < n; start += NBLOCK) {
+  // Blocks cover ALL n pixels from index 0 (cfitsio fits_rcomp layout:
+  // the first mapped difference is a[0]-lastpix = 0).
+  for (long start = 0; start < n; start += NBLOCK) {
     long m = (start + NBLOCK <= n) ? NBLOCK : (n - start);
-    uint64_t sum = 0;
+    double pixelsum = 0.0;
     for (long i = 0; i < m; ++i) {
       // wraparound difference + 32-bit zigzag: bijective for ALL int32
       int32_t diff = int32_t(uint32_t(a[start + i]) - uint32_t(lastpix));
       lastpix = a[start + i];
       uint32_t mv = (uint32_t(diff) << 1) ^ uint32_t(diff >> 31);
       mapped[i] = mv;
-      sum += mv;
+      pixelsum += double(mv);
     }
-    // pick fs: smallest fs with expected unary cost reasonable
-    uint64_t mean = sum / uint64_t(m);
-    uint32_t mmax = 0;
-    for (long i = 0; i < m; ++i) if (mapped[i] > mmax) mmax = mapped[i];
-    int fs = 0;
-    while ((mean >> fs) > 0) ++fs;
-    if (fs > 0) --fs;  // mean in [2^fs, 2^(fs+1))
-    // cap the worst-case unary run: raw block if a pixel would need
-    // more than ~8*BBITS unary bits at this fs
-    if (fs < FSMAX && (uint64_t(mmax) >> fs) > uint64_t(8 * BBITS))
-      fs = FSMAX;
-    if (sum == 0) {
+    if (pixelsum == 0.0) {
       bw.put(0, FSBITS);
-    } else if (fs >= FSMAX) {
-      bw.put(FSMAX + 2, FSBITS);
+      continue;
+    }
+    // cfitsio's bit-width statistic: fs = position of the highest set
+    // bit of half the (slightly debiased) mean mapped difference.
+    double dpsum = (pixelsum - double(m / 2) - 1.0) / double(m);
+    if (dpsum < 0) dpsum = 0.0;
+    uint64_t psum = uint64_t(dpsum) >> 1;
+    int fs = 0;
+    while (psum > 0) { ++fs; psum >>= 1; }
+    if (fs >= FSMAX) {
+      // high entropy: mapped diffs raw at full width, marker fsmax+1
+      bw.put(uint32_t(FSMAX + 1), FSBITS);
       for (long i = 0; i < m; ++i) bw.put(mapped[i], BBITS);
     } else {
       bw.put(uint32_t(fs + 1), FSBITS);
       for (long i = 0; i < m; ++i) {
-        uint32_t top = mapped[i] >> fs;  // bounded by the mmax guard
+        uint32_t top = mapped[i] >> fs;
         bw.put_zeros(int(top));
         bw.put(1, 1);
         if (fs) bw.put(mapped[i] & ((1u << fs) - 1u), fs);
@@ -161,14 +171,15 @@ long rice_decode_i32(const uint8_t* buf, long nbytes, int32_t* a, long n) {
   uint32_t u = (uint32_t(buf[0]) << 24) | (uint32_t(buf[1]) << 16) |
                (uint32_t(buf[2]) << 8) | uint32_t(buf[3]);
   int32_t lastpix = int32_t(u);
-  a[0] = lastpix;
   BitReader br(buf + 4, size_t(nbytes - 4));
-  for (long start = 1; start < n; start += NBLOCK) {
+  // Blocks cover ALL n pixels from index 0 (cfitsio fits_rdecomp
+  // layout); a[0] decodes as lastpix + 0.
+  for (long start = 0; start < n; start += NBLOCK) {
     long m = (start + NBLOCK <= n) ? NBLOCK : (n - start);
     uint32_t fsf = br.get(FSBITS);
     if (fsf == 0) {
       for (long i = 0; i < m; ++i) a[start + i] = lastpix;
-    } else if (fsf == uint32_t(FSMAX + 2)) {
+    } else if (fsf == uint32_t(FSMAX + 1)) {
       for (long i = 0; i < m; ++i) {
         uint32_t mv = br.get(BBITS);
         int32_t diff = int32_t((mv >> 1) ^ (~(mv & 1u) + 1u));
