@@ -194,9 +194,14 @@ def build_ccd(det_name: str, bias_levels: dict | None = None) -> CCD:
         # height from cameraGeom and applies it as a detector z shift)
         height_mm = -WF_HEIGHT_MM if sensor == "SW0" else WF_HEIGHT_MM
     else:
-        height_mm = float(
-            _det_hash(det_name, "height").normal(0.0, 0.008))
-    rot_deg = float(_det_hash(det_name, "yaw").normal(0.0, 0.02))
+        # LsstCamSim (the DM *simulated* camera the reference renders
+        # against) has exactly zero per-detector height error and yaw;
+        # measured as-built values come in through the camera-info
+        # override path (`rot_deg`/`height_mm` keys) instead of seeded
+        # randoms, which would break WCS parity with the reference
+        # (tests/test_golden_wcs.py pins the golden-visit WCS).
+        height_mm = 0.0
+    rot_deg = 0.0
     ccd = CCD(det_name, vendor, serial,
               Bounds(0, nx - 1, 0, ny - 1), (cx, cy),
               spec["full_well"], xt, height_mm=height_mm,

@@ -44,11 +44,15 @@ DEG = np.pi / 180.0
 ARCSEC = DEG / 3600.0
 
 # Rubin site (same constants the reference pulls from lsst.utils /
-# opsim headers; imsim/batoid_wcs.py:619-634 defaults)
+# opsim headers; imsim/batoid_wcs.py:619-634 defaults).  The pressure
+# default must match the reference's barometric polynomial at its
+# h=2715 m Cerro Pachon figure (imsim/batoid_wcs.py:625-630) — a 0.7%
+# pressure difference shifts every refracted position ~150 mas
+# zenith-ward at zd~30 deg.
 RUBIN_LAT = -30.24463 * DEG
 RUBIN_LON = -70.749417 * DEG
-RUBIN_HEIGHT = 2647.0          # m
-RUBIN_PRESSURE_KPA = 101.325 * np.exp(-RUBIN_HEIGHT / 8135.0)  # ~72 kPa
+RUBIN_HEIGHT = 2715.0          # m
+RUBIN_PRESSURE_KPA = 101.325 * (1 - 2.25577e-5 * RUBIN_HEIGHT) ** 5.25588
 
 
 def _jc(mjd):
@@ -285,21 +289,40 @@ class Observation:
     def __init__(self, boresight_ra, boresight_dec, mjd,
                  wavelength_nm=622.0, lat=RUBIN_LAT, lon=RUBIN_LON,
                  pressure_kpa=RUBIN_PRESSURE_KPA, temperature_k=280.0,
-                 h2o_pressure_kpa=1.0, dut1=0.0):
+                 h2o_pressure_kpa=1.0, dut1=0.0, time_scale="tai"):
+        # Rubin MJDs (opsim, phosim headers) are TAI (the reference
+        # constructs astropy Time(..., scale='tai'),
+        # imsim/batoid_wcs.py:607-612).  Earth rotation needs UT1
+        # (= UTC + dut1; TAI-UTC = 37 s since 2017-01, valid for all
+        # contemporary survey epochs) and the precession/nutation/
+        # aberration series need TT (= TAI + 32.184 s).
+        if time_scale == "tai":
+            mjd_utc = mjd - 37.0 / 86400.0
+            mjd_tt = mjd + 32.184 / 86400.0
+        elif time_scale == "utc":
+            mjd_utc = mjd
+            mjd_tt = mjd + (37.0 + 32.184) / 86400.0
+        else:
+            raise ValueError(f"unknown time_scale {time_scale!r}")
         self.mjd = mjd
+        self.mjd_tt = mjd_tt
+        self.mjd_ut1 = mjd_utc + dut1 / 86400.0
         self.lat, self.lon = lat, lon
         self.pressure_kpa = pressure_kpa
         self.temperature_k = temperature_k
         self.h2o_pressure_kpa = h2o_pressure_kpa
         self.wavelength_nm = wavelength_nm
-        self.icrf2tod = icrf_to_tod_matrix(mjd)
+        self.icrf2tod = icrf_to_tod_matrix(mjd_tt)
         # barycentric Earth velocity: computed in the equatorial-of-date
         # frame, rotated to ICRF components (aberration is applied to
         # ICRF vectors; a frame mismatch here costs |v/c| * frame angle
         # ~ 0.1 arcsec)
-        self.vel = icrf_to_tod_matrix(mjd).T @ earth_velocity(mjd)
-        # local apparent sidereal time; dut1 = UT1-UTC (s) if available
-        self.last = gast(mjd + dut1 / 86400.0) + lon
+        self.vel = self.icrf2tod.T @ earth_velocity(mjd_tt)
+        # local apparent sidereal time from UT1 (equation of the
+        # equinoxes evaluated at TT)
+        self.last = (gmst(self.mjd_ut1)
+                     + nutation(mjd_tt)[0] * np.cos(mean_obliquity(mjd_tt))
+                     + lon)
         self.k1, self.k2 = refraction_coefs(wavelength_nm, pressure_kpa,
                                             temperature_k, h2o_pressure_kpa)
         # diurnal aberration: observer velocity / c, due east
@@ -340,6 +363,64 @@ class Observation:
         # refraction (raises apparent altitude)
         alt = apply_refraction(alt, self.k1, self.k2)
         return az, alt
+
+    # --- observed equatorial (rob, dob) ---------------------------------
+    # The reference's WCS field frame lives in *observed* ra/dec (the
+    # apparent, refracted position re-expressed as equatorial
+    # coordinates of date: rob = LAST - hob; erfa atco13's rob/dob,
+    # imsim/batoid_wcs.py:118-243).
+    def icrf_to_observed_radec(self, ra, dec):
+        az, alt = self.icrf_to_observed(ra, dec)
+        return self.azalt_to_observed_radec(az, alt)
+
+    def azalt_to_observed_radec(self, az, alt):
+        sin_lat, cos_lat = np.sin(self.lat), np.cos(self.lat)
+        sin_dec = np.sin(alt) * sin_lat + np.cos(alt) * cos_lat * np.cos(az)
+        dob = np.arcsin(np.clip(sin_dec, -1, 1))
+        hob = np.arctan2(-np.sin(az) * np.cos(alt),
+                         np.sin(alt) * cos_lat
+                         - np.cos(alt) * sin_lat * np.cos(az))
+        rob = self.last - hob
+        return rob, dob
+
+    def observed_radec_to_icrf(self, rob, dob):
+        ha = self.last - rob
+        sin_lat, cos_lat = np.sin(self.lat), np.cos(self.lat)
+        sin_alt = (np.sin(dob) * sin_lat
+                   + np.cos(dob) * cos_lat * np.cos(ha))
+        alt = np.arcsin(np.clip(sin_alt, -1, 1))
+        az = np.arctan2(-np.cos(dob) * np.sin(ha),
+                        np.sin(dob) * cos_lat
+                        - np.cos(dob) * sin_lat * np.cos(ha)) % (2 * np.pi)
+        return self.observed_to_icrf(az, alt)
+
+    def parallactic_angle_observed(self):
+        """Parallactic angle of the *observed* boresight (position angle
+        of zenith from true north through east at the refracted apparent
+        place) — erfa hd2pa(hob, dob, lat), the q of the reference's
+        field frame (imsim/batoid_wcs.py:255-268)."""
+        rob, dob = self.azalt_to_observed_radec(
+            np.atleast_1d(self.bore_az), np.atleast_1d(self.bore_alt))
+        hob = self.last - rob[0]
+        dob = dob[0]
+        return np.arctan2(
+            np.sin(hob),
+            np.tan(self.lat) * np.cos(dob) - np.sin(dob) * np.cos(hob))
+
+    def pseudo_parallactic_angle(self):
+        """Position angle of zenith measured from *ICRF* north through
+        east at the boresight (the reference's `pq`,
+        imsim/batoid_wcs.py:270-308): computed, like the reference, by
+        mapping a point slightly zenith-ward of the boresight back to
+        ICRF and taking its position angle.  Differs from
+        parallactic_angle_observed() by the ICRS-vs-of-date north
+        convergence (~0.1-0.2 deg at |dec|~35, epoch 2025)."""
+        eps = 1e-4
+        ra_z, dec_z = self.observed_to_icrf(
+            np.atleast_1d(self.bore_az), np.atleast_1d(self.bore_alt + eps))
+        ra0, dec0 = self.boresight
+        dra = (float(ra_z[0]) - ra0 + np.pi) % (2 * np.pi) - np.pi
+        return np.arctan2(dra * np.cos(dec0), float(dec_z[0]) - dec0)
 
     # --- observed az/alt -> ICRF ----------------------------------------
     def observed_to_icrf(self, az, alt):

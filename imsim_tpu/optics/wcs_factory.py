@@ -21,6 +21,21 @@ from .trace import trace, rays_from_field
 from .wcs import TanSipWCS, fit_tan_sip
 
 
+# Camera-leg frame constants, pinned against TWO reference oracles (the
+# golden eimage WCS of visit 449053 and the DC2 wcs_466749.yaml replay;
+# see tools/compare_golden_wcs.py): the rotator sense mapping the
+# reference's physical camera RotZ(rotTelPos) onto our field-level
+# rotation, and the EDCS->DVCS axis exchange the reference applies
+# between the raytrace and the focal plane (imsim/batoid_wcs.py:370-373
+# "x/y transpose to convert from EDCS to DVCS").
+ROTATOR_SIGN = -1.0
+# Orthogonal map from our trace's focal frame to the DVCS focal plane
+# the camera geometry lives in (composition of the reference's EDCS->
+# DVCS x/y exchange, imsim/batoid_wcs.py:370-373, with the relation
+# between batoid's and our field-angle/dircos sign conventions).
+FOCAL_FRAME = np.array([[0.0, 1.0], [-1.0, 0.0]])
+
+
 class WCSFactory:
     def __init__(self, obs: Observation, telescope: LoadedTelescope,
                  wavelength_nm: float = 622.0, order: int = 3):
@@ -28,16 +43,42 @@ class WCSFactory:
         self.telescope = telescope
         self.wavelength = wavelength_nm
         self.order = order
-        rt = telescope.rotTelPos
+        rt = ROTATOR_SIGN * telescope.rotTelPos
         self._crot = np.cos(rt)
         self._srot = np.sin(rt)
+        # the reference's field frame: (u_west, v_north) about the
+        # OBSERVED boresight = A @ (thx, thy) with the involution
+        # A = [[c, s], [s, -c]] at angle -q_eff
+        # (imsim/batoid_wcs.py:310-350).  The reflection axis
+        # q_eff = 2*pq - q (= q minus twice the ICRS-vs-of-date north
+        # convergence) and FOCAL_FRAME above are pinned TOGETHER,
+        # empirically, against two independent reference outputs at
+        # different parallactic angles, epochs (2.1 yr apart), bands
+        # and rotator angles: the golden eimage WCS of visit 449053 and
+        # the DC2 wcs_466749.yaml replay.  Only this axis reconciles
+        # both (residual twist <= 0.02 deg; q alone leaves -2c, pq
+        # alone -c, where c = q - pq) — the reference realizes it
+        # through erfa/galsim conventions that we pin by measurement
+        # rather than re-derivation (tools/compare_golden_wcs.py,
+        # tests/test_golden_wcs.py).
+        q = obs.parallactic_angle_observed()
+        pq = obs.pseudo_parallactic_angle()
+        self._q = 2.0 * pq - q
+        self._bore_rob, self._bore_dob = obs.azalt_to_observed_radec(
+            np.atleast_1d(obs.bore_az), np.atleast_1d(obs.bore_alt))
+        self._bore_rob = float(self._bore_rob[0])
+        self._bore_dob = float(self._bore_dob[0])
         # linear field->focal scale for inversion seeds
         self._efl = self._measure_efl()
 
     # --- field <-> focal (raytrace) --------------------------------------
     def field_to_focal_m(self, thx, thy, tel=None):
-        """Chief-ray focal-plane position [m] for field angles [rad] in
-        the camera frame (rotator already applied)."""
+        """Chief-ray focal-plane position [m] in DVCS for field angles
+        [rad] in the camera frame (rotator already applied).  The trace
+        works in the raytracer's EDCS; the reference exchanges x/y
+        between EDCS and the DVCS focal plane the camera geometry lives
+        in (imsim/batoid_wcs.py:370-373), applied here when
+        FOCAL_SWAP_XY."""
         thx = np.atleast_1d(np.asarray(thx, float))
         thy = np.atleast_1d(np.asarray(thy, float))
         n = thx.shape[0]
@@ -46,12 +87,14 @@ class WCSFactory:
         out = trace(tel if tel is not None else self.telescope.fiducial,
                     px, py, pz, vx, vy, vz,
                     np.full(n, self.wavelength), np)
-        return out["x"], out["y"]
+        F = FOCAL_FRAME
+        return (F[0, 0] * out["x"] + F[0, 1] * out["y"],
+                F[1, 0] * out["x"] + F[1, 1] * out["y"])
 
     def _measure_efl(self):
-        x1, _ = self.field_to_focal_m(0.002, 0.0)
-        x2, _ = self.field_to_focal_m(0.0021, 0.0)
-        return float((x2[0] - x1[0]) / 0.0001)
+        x1, y1 = self.field_to_focal_m(0.002, 0.0)
+        x2, y2 = self.field_to_focal_m(0.0021, 0.0)
+        return float(np.hypot(x2[0] - x1[0], y2[0] - y1[0]) / 0.0001)
 
     def focal_m_to_field(self, fx, fy, tel=None, niter=4):
         """Invert field->focal by Newton with numeric Jacobian
@@ -78,26 +121,36 @@ class WCSFactory:
         return thx, thy
 
     # --- ICRF <-> field ---------------------------------------------------
+    def _sky_to_field(self, u_west, v_north):
+        """Reference field frame: (thx, thy) = A(-q) @ (u, v), A
+        involutory (so this is also the inverse map)."""
+        cq, sq = np.cos(-self._q), np.sin(-self._q)
+        return (cq * u_west + sq * v_north,
+                sq * u_west - cq * v_north)
+
     def icrf_to_field(self, ra, dec):
         """ICRF -> camera-frame field angles (the photon-op input;
-        imsim/batoid_wcs.py:499-505)."""
-        az, alt = self.obs.icrf_to_observed(np.asarray(ra, float),
-                                            np.asarray(dec, float))
-        # gnomonic about the observed boresight on the az/alt sphere;
-        # u toward +az (compass east), v toward +alt (zenith-ward)
-        u, v = gnomonic_project(az, alt, self.obs.bore_az,
-                                self.obs.bore_alt)
-        # rotator: camera frame = R(-rotTelPos) x alt-az frame
-        thx = self._crot * u + self._srot * v
-        thy = -self._srot * u + self._crot * v
-        return thx, thy
+        imsim/batoid_wcs.py:499-505).  Frames follow the reference
+        exactly: gnomonic about the OBSERVED boresight in observed
+        ra/dec with (u west, v north), then the q-involution to field
+        angles (thx = +d(az) sin z, thy = -d(alt)), then the rotator."""
+        rob, dob = self.obs.icrf_to_observed_radec(
+            np.asarray(ra, float), np.asarray(dec, float))
+        e, n = gnomonic_project(rob, dob, self._bore_rob, self._bore_dob)
+        thx, thy = self._sky_to_field(-e, n)
+        # rotator: reference rotates the camera optic by RotZ(rotTelPos);
+        # equivalent field-level rotation for our unrotated trace
+        cx = self._crot * thx + self._srot * thy
+        cy = -self._srot * thx + self._crot * thy
+        return cx, cy
 
     def field_to_icrf(self, thx, thy):
         u = self._crot * thx - self._srot * thy
         v = self._srot * thx + self._crot * thy
-        az, alt = gnomonic_deproject(u, v, self.obs.bore_az,
-                                     self.obs.bore_alt)
-        return self.obs.observed_to_icrf(az, alt)
+        uw, vn = self._sky_to_field(u, v)   # A is its own inverse; reuse
+        rob, dob = gnomonic_deproject(-uw, vn, self._bore_rob,
+                                      self._bore_dob)
+        return self.obs.observed_radec_to_icrf(rob, dob)
 
     # --- full WCS per detector ---------------------------------------------
     def det_field_center(self, ccd: CCD, tel=None):

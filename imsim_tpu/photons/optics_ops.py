@@ -75,8 +75,17 @@ def make_optics_context(wcs_factory, ccd) -> OpticsContext:
                             obs.temperature_k, obs.h2o_pressure_kpa)
     return OpticsContext(
         bore_alt=f(obs.bore_alt), bore_az=f(obs.bore_az),
-        crot=f(np.cos(wcs_factory.telescope.rotTelPos)),
-        srot=f(np.sin(wcs_factory.telescope.rotTelPos)),
+        # alt-az <-> camera is a REFLECTION at angle
+        # psi = ROTATOR_SIGN*rotTelPos - 2*q_eff (the involution of the
+        # field frame composed with the rotator; optics.wcs_factory —
+        # using the factory's own axis keeps photon landing and the
+        # written WCS mutually consistent):
+        #   cam = [[cos psi, sin psi], [sin psi, -cos psi]] @ (az, alt)
+        # and the same matrix maps camera back to alt-az (involution).
+        crot=f(np.cos(_rotator_sign() * wcs_factory.telescope.rotTelPos
+                      - 2.0 * wcs_factory._q)),
+        srot=f(np.sin(_rotator_sign() * wcs_factory.telescope.rotTelPos
+                      - 2.0 * wcs_factory._q)),
         k1_ref=f(obs.k1), k2_ref=f(obs.k2),
         det_cx_mm=f(ccd.center_mm[0]), det_cy_mm=f(ccd.center_mm[1]),
         det_crot=f(np.cos(np.radians(getattr(ccd, "rot_deg", 0.0)))),
@@ -86,6 +95,11 @@ def make_optics_context(wcs_factory, ccd) -> OpticsContext:
         latitude=float(obs.lat), pressure_kpa=float(obs.pressure_kpa),
         temperature_k=float(obs.temperature_k),
         h2o_kpa=float(obs.h2o_pressure_kpa))
+
+
+def _rotator_sign():
+    from ..optics.wcs_factory import ROTATOR_SIGN
+    return ROTATOR_SIGN
 
 
 def dcr_kick(ctx: OpticsContext, thx, thy, wavelength_nm):
@@ -101,8 +115,9 @@ def dcr_kick(ctx: OpticsContext, thx, thy, wavelength_nm):
     TPU note: the Edlen index is evaluated analytically per photon —
     ~10 VPU flops — instead of a table gather (random gathers cost
     ~8.6 ns/row on this chip regardless of width; flops are free)."""
-    # alt-az frame v component of this photon
-    v = ctx.srot * thx + ctx.crot * thy
+    # altitude offset of this photon: camera -> alt-az via the psi
+    # reflection (see make_optics_context)
+    v = ctx.srot * thx - ctx.crot * thy
     alt = ctx.bore_alt + v
     xi = G.air_index_excess(jnp, wavelength_nm, ctx.pressure_kpa,
                             ctx.temperature_k, ctx.h2o_kpa)
@@ -111,7 +126,8 @@ def dcr_kick(ctx: OpticsContext, thx, thy, wavelength_nm):
     k2 = -xi * (beta + xi * 0.5)
     tz = jnp.tan(jnp.clip(0.5 * jnp.pi - alt, 0.0, 1.5))
     dalt = (k1 - ctx.k1_ref) * tz + (k2 - ctx.k2_ref) * tz**3
-    return thx + ctx.srot * dalt, thy + ctx.crot * dalt
+    # zenith-ward kick: alt-az delta (0, dalt) through the psi reflection
+    return thx + ctx.srot * dalt, thy - ctx.crot * dalt
 
 
 def silicon_refraction(vx, vy, vz, wavelength_nm):
@@ -149,22 +165,26 @@ def field_to_sensor(key, tel, ctx: OpticsContext, thx, thy, pupil_u,
             enable_field_rotation=field_rotation)
         # the kick is computed in the telescope (alt-az) frame, where
         # the spider lives; (thx, thy) are CAMERA-frame field angles.
-        # Rotate the kick components alt-az -> camera (same R(-rotTelPos)
-        # the DCR zenith vector uses above), so spikes land at
-        # 45 deg - rotTelPos in pixel coords — the rotator turns the
-        # camera, not the spider (imsim/photon_ops.py:211-250;
-        # tests/test_diffraction_fft.py expects exactly this angle).
-        thx = thx + ctx.crot * dthx + ctx.srot * dthy
-        thy = thy + (-ctx.srot * dthx + ctx.crot * dthy)
+        # alt-az -> camera via the psi reflection (make_optics_context)
+        # — the rotator turns the camera, not the spider
+        # (imsim/photon_ops.py:211-250).
+        thx = thx + (ctx.crot * dthx + ctx.srot * dthy)
+        thy = thy + (ctx.srot * dthx - ctx.crot * dthy)
 
     px, py, pz, vx, vy, vz = rays_from_field(jnp, thx, thy, pupil_u,
                                              pupil_v)
     out = trace(tel, px, py, pz, vx, vy, vz, wavelength_nm, jnp)
     flux = jnp.where(out["vignette"], 0.0, flux)
     # focal mm -> detector pixels through the detector's yaw
-    # (electronics.camera.focal_mm_to_pixel, kept in scalar form here)
-    ux = out["x"] * 1e3 - ctx.det_cx_mm
-    uy = out["y"] * 1e3 - ctx.det_cy_mm
+    # (electronics.camera.focal_mm_to_pixel, kept in scalar form here);
+    # trace frame -> focal DVCS via the same FOCAL_FRAME map the WCS
+    # factory applies (optics.wcs_factory.FOCAL_FRAME; reference
+    # EDCS->DVCS exchange, imsim/batoid_wcs.py:370-373)
+    from ..optics.wcs_factory import FOCAL_FRAME as _FF
+    fx = _FF[0, 0] * out["x"] + _FF[0, 1] * out["y"]
+    fy = _FF[1, 0] * out["x"] + _FF[1, 1] * out["y"]
+    ux = fx * 1e3 - ctx.det_cx_mm
+    uy = fy * 1e3 - ctx.det_cy_mm
     x_pix = (ctx.det_crot * ux + ctx.det_srot * uy) * 100.0 \
         + (ctx.det_nx - 1) / 2.0
     y_pix = (-ctx.det_srot * ux + ctx.det_crot * uy) * 100.0 \

@@ -93,9 +93,14 @@ def test_per_detector_z_offset_changes_focus():
     from imsim_tpu.electronics.camera import get_camera
 
     cam = get_camera("LsstCamSim")
-    heights = [cam[d].height_mm for d in ("R22_S11", "R01_S00", "R11_S22")]
-    assert len(set(heights)) == 3          # per-detector, deterministic
-    assert max(abs(h) for h in heights) < 0.05  # within flatness budget
+    # LsstCamSim science sensors sit exactly in the focal plane (zero
+    # height error — parity with the reference's simulated camera);
+    # the wavefront pairs carry the real +-1.5 mm intra/extra offsets.
+    assert all(cam[d].height_mm == 0.0
+               for d in ("R22_S11", "R01_S00", "R11_S22"))
+    full = get_camera("LsstCam")          # 205-det camera has the WF pairs
+    assert full["R00_SW0"].height_mm == -1.5
+    assert full["R00_SW1"].height_mm == 1.5
     tel = load_telescope()
     t0 = tel.for_detector("R22_S11", z_offset=0.0)
     t1 = tel.for_detector("R22_S11", z_offset=20e-6)
@@ -113,7 +118,7 @@ def test_runner_uses_detector_height(tmp_path):
     fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")
     cam = get_camera("LsstCamSim")
     ccd = cam["R22_S11"]
-    wcs_a = fac.get_wcs(ccd)                    # defaults to height_mm
+    wcs_a = fac.get_wcs(ccd, z_offset=10e-6)    # explicit 10 um defocus
     wcs_b = fac.get_wcs(ccd, z_offset=0.0)      # explicitly fiducial
     # a ~10 um defocus shifts the plate solution measurably but slightly
     ra_a, dec_a = wcs_a.xy_to_radec(3000.0, 3000.0)

@@ -187,15 +187,24 @@ def test_detector_yaw_consistency():
 
     cam = get_camera("LsstCamSim")
     ccd = cam["R22_S11"]
-    assert abs(getattr(ccd, "rot_deg", 0.0)) > 1e-5  # synthesized yaw on
-    # transform roundtrip with rotation
-    fx, fy = pixel_to_focal_mm(ccd, np.array([100.0]), np.array([3000.0]))
-    xb, yb = focal_mm_to_pixel(ccd, fx, fy)
-    assert abs(xb[0] - 100.0) < 1e-9 and abs(yb[0] - 3000.0) < 1e-9
-    # rotation actually shears the corner by the expected amount
-    fx0 = ccd.center_mm[0] + (100.0 - (ccd.bounds.width - 1) / 2) \
-        * 0.01
-    assert abs(fx[0] - fx0) > 1e-5
+    # LsstCamSim defaults to zero yaw (WCS parity with the reference's
+    # simulated camera; tests/test_golden_wcs.py) — drive the measured-
+    # data override path with an explicit as-built yaw instead.
+    assert getattr(ccd, "rot_deg", 0.0) == 0.0
+    old = ccd.rot_deg
+    ccd.rot_deg = 0.13
+    try:
+        # transform roundtrip with rotation
+        fx, fy = pixel_to_focal_mm(ccd, np.array([100.0]),
+                                   np.array([3000.0]))
+        xb, yb = focal_mm_to_pixel(ccd, fx, fy)
+        assert abs(xb[0] - 100.0) < 1e-9 and abs(yb[0] - 3000.0) < 1e-9
+        # rotation actually shears the corner by the expected amount
+        fx0 = ccd.center_mm[0] + (100.0 - (ccd.bounds.width - 1) / 2) \
+            * 0.01
+        assert abs(fx[0] - fx0) > 1e-5
+    finally:
+        ccd.rot_deg = old
 
 
 def test_dcr_amplitude_and_direction():
