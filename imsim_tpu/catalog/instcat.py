@@ -83,12 +83,25 @@ class ObjectTable:
     # FITS-postage-stamp objects: file path per object ('' otherwise)
     image_file: np.ndarray = field(
         default_factory=lambda: np.array([], object))
+    # optional pre-built observer-frame SED per row (catalog.sed.SED,
+    # normalized for magnorm=0), used by catalogs whose SEDs are inline
+    # data rather than files (skyCatalogs tophat components); None rows
+    # fall back to the sed_name file path
+    sed_obj: np.ndarray = field(
+        default_factory=lambda: np.array([], object))
 
     def __len__(self):
         return len(self.magnorm)
 
     def select(self, idx) -> "ObjectTable":
-        kw = {k: getattr(self, k)[idx] for k in self.__dataclass_fields__}
+        kw = {}
+        n = len(self)
+        for k in self.__dataclass_fields__:
+            v = getattr(self, k)
+            if len(v) != n:   # optional column absent -> keep it absent
+                kw[k] = v
+            else:
+                kw[k] = v[idx]
         return ObjectTable(**kw)
 
 

@@ -52,11 +52,25 @@ class SkyCatalogInterface:
     # apply_dc2_dilation; galaxies only)
     apply_dc2_dilation: bool = False
 
+    # skyCatalogs root dir override (imsim/skycat.py skycatalog_root)
+    skycatalog_root: str | None = None
+
     def __post_init__(self):
         import pandas as pd
 
         files = ([self.file_name] if isinstance(self.file_name, str)
                  else list(self.file_name))
+        self.native = None
+        if len(files) == 1 and files[0].endswith((".yaml", ".yml")):
+            # the native skyCatalogs format: yaml catalog config +
+            # healpix-keyed parquet files (imsim/skycat.py:101-107)
+            from .skycat_native import NativeSkyCatalog
+
+            self.native = NativeSkyCatalog(
+                files[0], skycatalog_root=self.skycatalog_root)
+            self.df = None
+            self.cols = dict(DEFAULT_COLUMNS)
+            return
         frames = []
         for f in files:
             if not os.path.exists(f):
@@ -189,10 +203,47 @@ class SkyCatalogInterface:
             cols[key] = newcol
         return out, cols
 
+    def _native_table(self, wcs, xsize, ysize, edge_pix, logger):
+        """Native-format path: healpix region query around the CCD
+        corners (imsim/skycat.py:88-107) + component expansion, then
+        the same pixel-box cull as the mapped path."""
+        if wcs is not None:
+            corners = [(-edge_pix, -edge_pix), (xsize + edge_pix, -edge_pix),
+                       (xsize + edge_pix, ysize + edge_pix),
+                       (-edge_pix, ysize + edge_pix)]
+            xs = np.array([c[0] for c in corners], float)
+            ys = np.array([c[1] for c in corners], float)
+            ra, dec = wcs.xy_to_radec(xs, ys)
+            vertices = np.stack([np.asarray(ra) / DEG,
+                                 np.asarray(dec) / DEG], -1)
+            tab = self.native.get_objects_by_region(
+                vertices, obj_types=self.obj_types, logger=logger)
+        else:
+            # no WCS: accept every file (tests / full-catalog scans)
+            tab = self.native.get_objects_by_region(
+                None, obj_types=self.obj_types, logger=logger)
+        if self.apply_dc2_dilation and len(tab):
+            from .instcat import POINT as _PT
+
+            gal = tab.obj_type != _PT
+            qc = np.clip(np.asarray(tab.p2, float), 0.05, 1.0)
+            tab.p0 = np.where(gal, tab.p0 / np.sqrt(qc), tab.p0)
+        if wcs is not None and len(tab):
+            x, y = wcs.radec_to_xy(tab.ra, tab.dec)
+            tab.x, tab.y = np.asarray(x, float), np.asarray(y, float)
+            keep = ((tab.x >= -edge_pix) & (tab.x <= xsize + edge_pix)
+                    & (tab.y >= -edge_pix) & (tab.y <= ysize + edge_pix))
+            tab = tab.select(keep)
+        if logger:
+            logger.info("skycat (native): %d objects kept", len(tab))
+        return tab
+
     def to_object_table(self, wcs=None, xsize=4096, ysize=4096,
                         edge_pix=100, logger=None) -> ObjectTable:
         """Polygon-region cull (the pixel-box equivalent of
         skycat.py:88-107) + schema conversion."""
+        if self.native is not None:
+            return self._native_table(wcs, xsize, ysize, edge_pix, logger)
         df, cols = self._expand_components()
         n = len(df)
 
@@ -262,4 +313,7 @@ class SkyCatalogInterface:
         return tab
 
     def getNObjects(self):
+        if self.native is not None:
+            return len(self.native.get_objects_by_region(
+                None, obj_types=self.obj_types))
         return len(self.df)

@@ -427,7 +427,8 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
             obj_types=tuple(sky_cfg["obj_types"])
             if sky_cfg.get("obj_types") else None,
             apply_dc2_dilation=bool(
-                sky_cfg.get("apply_dc2_dilation", False)))
+                sky_cfg.get("apply_dc2_dilation", False)),
+            skycatalog_root=sky_cfg.get("skycatalog_root"))
         table = skycat.to_object_table(
             wcs=wcs, xsize=nx, ysize=ny,
             edge_pix=float(sky_cfg.get("edge_pix", 100)), logger=logger)
@@ -435,6 +436,12 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
             os.environ.get("SIMS_SED_LIBRARY_DIR", ".")
         if isinstance(sed_dirs, str):
             sed_dirs = [sed_dirs]
+        if skycat.native is not None:
+            # sed_file_root dirs from the yaml config (env expanded)
+            sed_dirs = list(sed_dirs) + skycat.native.sed_dirs_hint()
+        if sky_cfg.get("skip_missing_sed"):
+            table = scene_mod.filter_missing_seds(table, sed_dirs,
+                                                  logger=logger)
         # approx_nobjects (imsim/skycat.py getApproxNObjects) is a
         # processing-capacity hint; here it pins the static scene pad
         # so every CCD of a visit traces with one shape (no recompiles)

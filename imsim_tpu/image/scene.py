@@ -185,6 +185,31 @@ def _fits_point_cloud(path: str, pixel_scale_as: float, theta_rad: float,
                     -1).astype(np.float32) * pixel_scale_as
 
 
+def filter_missing_seds(table: ic.ObjectTable, sed_dirs,
+                        logger=None) -> ic.ObjectTable:
+    """Drop rows whose SED file can't be found in sed_dirs (inline-SED
+    rows always pass).  Opt-in (`skip_missing_sed`): lets partial SED
+    libraries (like the reference's tests/data/test_sed_library, which
+    carries only a sample of the full rubin_sim library) render the
+    objects they can instead of failing the visit."""
+    import os as _os
+
+    n = len(table)
+    has_inline = len(getattr(table, "sed_obj", ())) == n
+    keep = np.ones(n, bool)
+    for i in range(n):
+        if has_inline and table.sed_obj[i] is not None:
+            continue
+        name = str(table.sed_name[i])
+        if not any(_os.path.isfile(_os.path.join(d, name))
+                   for d in sed_dirs):
+            keep[i] = False
+    if logger and not keep.all():
+        logger.warning("skip_missing_sed: dropped %d/%d objects with "
+                       "unavailable SED files", int((~keep).sum()), n)
+    return table.select(keep)
+
+
 def build_scene(table: ic.ObjectTable, bp: Bandpass, sed_dirs,
                 exptime: float = 30.0, pupil_area: float = ic.RUBIN_AREA,
                 rng: np.random.Generator | None = None,
@@ -207,7 +232,17 @@ def build_scene(table: ic.ObjectTable, bp: Bandpass, sed_dirs,
     # ingest cost for 1e5-object catalogs.
     cache: dict = {}
     has_int = len(getattr(table, "int_av", ())) == n
+    has_inline = len(getattr(table, "sed_obj", ())) == n
     for i in range(n):
+        if has_inline and table.sed_obj[i] is not None:
+            # pre-built observer-frame SED (skyCatalogs tophat
+            # components) — already redshifted/extinguished and
+            # normalized for magnorm=0
+            sed = table.sed_obj[i]
+            nominal[i] = base[i] * bp.photon_rate(sed.wave, sed.fphot,
+                                                  1.0, 1.0)
+            wl[i] = _wavelength_icdf(sed, bp)
+            continue
         iav = float(table.int_av[i]) if has_int else 0.0
         irv = float(table.int_rv[i]) if has_int else 3.1
         key = (table.sed_name[i], round(float(table.redshift[i]), 4),
