@@ -98,21 +98,82 @@ def apply_cte_bands(raw, bands, axis: int):
     return out
 
 
+def _bleed_first_runs(v, fw):
+    """Process the FIRST remaining saturated run of every column with the
+    reference's exact alternating outward fill (bleed_trails.py:96-152):
+    charge walks out from the run boundaries at increasing distance j,
+    visiting below(j) then above(j), filling each visited pixel to full
+    well; below the bottom edge each step swallows one full-well's worth
+    (escape); above the top edge nothing absorbs; the walk is bounded at
+    max(y0, H-y1) steps.  A visited pixel that is itself above full well
+    (a later saturated run) is clamped to full well and its surplus joins
+    the walking charge -- the min(fw - v, excess) arithmetic of
+    BleedCharge.__call__ with a negative capacity, reproduced by the
+    unclamped (fw - v) capacity here.
+
+    Vectorized across columns with no per-run loop: every pixel outside
+    the run maps to a unique index k in the interleaved visit order
+    (below j -> k=2j-2, above j -> k=2j-1); a cumulative-capacity scan
+    over k finds where the walking charge runs out, and each pixel
+    reads its own fate (full / partial / untouched) from that ordering.
+    """
+    H, W = v.shape
+    idx = jnp.arange(H, dtype=jnp.int32)[:, None]        # (H, 1)
+    mask = v > fw
+    has = mask.any(axis=0)                               # (W,)
+    y0 = jnp.argmax(mask, axis=0).astype(jnp.int32)      # first saturated
+    after = (~mask) & (idx >= y0[None, :])
+    y1 = jnp.where(after.any(axis=0),
+                   jnp.argmax(after, axis=0), H).astype(jnp.int32)
+    in_run = (idx >= y0[None, :]) & (idx < y1[None, :])
+    E = jnp.sum(jnp.where(in_run, v - fw, 0.0), axis=0)  # (W,) excess
+    v = jnp.where(in_run, fw, v)
+
+    # interleaved capacity array over visit order k = 0..2H-1
+    k2 = jnp.arange(2 * H, dtype=jnp.int32)[:, None]     # (2H, 1)
+    is_below = (k2 % 2) == 0
+    j = jnp.where(is_below, k2 // 2 + 1, (k2 + 1) // 2)  # step distance
+    tgt = jnp.where(is_below, y0[None, :] - j, y1[None, :] + j - 1)
+    dy_max = jnp.maximum(y0, H - y1)[None, :]
+    vt = jnp.take_along_axis(v, jnp.clip(tgt, 0, H - 1), axis=0)
+    ci = jnp.where(j > dy_max, 0.0,
+                   jnp.where(is_below & (tgt < 0), fw,
+                             jnp.where(~is_below & (tgt >= H), 0.0,
+                                       fw - vt)))
+    cum = jnp.cumsum(ci, axis=0)
+    # first k where the walk's cumulative absorption reaches E (cummax
+    # guards the non-monotonic negative-capacity case)
+    reached = jax.lax.cummax(cum, axis=0) >= E[None, :]
+    stop = jnp.where(reached.any(axis=0),
+                     jnp.argmax(reached, axis=0), 2 * H).astype(jnp.int32)
+
+    # per-pixel fate from its own interleave index
+    jb = y0[None, :] - idx                    # below step (valid idx<y0)
+    ja = idx - y1[None, :] + 1                # above step (valid idx>=y1)
+    k_pix = jnp.where(idx < y0[None, :], 2 * jb - 2, 2 * ja - 1)
+    cum_prev = jnp.take_along_axis(
+        cum - ci, jnp.clip(k_pix, 0, 2 * H - 1), axis=0)
+    partial = jnp.maximum(E[None, :] - cum_prev, 0.0)
+    out = jnp.where(k_pix < stop[None, :], fw,
+                    jnp.where(k_pix == stop[None, :], v + partial, v))
+    return jnp.where(has[None, :], out, v)
+
+
 @partial(jax.jit, static_argnames=("midline_stop", "niter"))
 def bleed_image(image, full_well, midline_stop: bool = False,
                 niter: int = 0):
-    """Charge bleeding along columns (y), conserving charge; excess runs
-    off the bottom edge only (imsim/bleed_trails.py:26-153 behavior).
-
-    Exact directional-sweep formulation: half of each pixel's excess flows
-    toward the top, half toward the bottom, absorbed by the first
-    unsaturated pixels (three lax.scan sweeps, vectorized across all
-    columns). Charge reaching past the top edge is re-routed downward (the
-    reference's alternating outward walk only loses charge off the bottom,
-    bleed_trails.py:136-152); charge off the bottom escapes. Deviation
-    from the reference: each side receives an equal *amount* rather than
-    filling at an equal *rate*, identical except for asymmetric
-    almost-full surroundings.  niter is accepted for API compatibility.
+    """Charge bleeding along columns (y) -- the reference's algorithm
+    (imsim/bleed_trails.py:26-153) semantics exactly: per saturated run,
+    clamp to full well and walk the excess outward, alternating one
+    pixel below / one pixel above per distance step, filling each to
+    full well; charge escapes off the bottom edge only (one full-well
+    per step), never off the top.  Runs are processed in ascending-y
+    order per column (the reference's end_points ordering) by iterating
+    "first remaining run" to a fixed point; columns are independent and
+    processed in parallel.  Value-level equivalence against the
+    reference module itself is asserted in tests/test_readout.py
+    (synthetic + the neg_pixel_bleed.pickle cases).  niter is accepted
+    for API compatibility.
     """
     H, W = image.shape
 
@@ -121,27 +182,13 @@ def bleed_image(image, full_well, midline_stop: bool = False,
         bot = bleed_image(image[H // 2:], full_well, False)
         return jnp.concatenate([top, bot], axis=0)
 
-    excess = jnp.maximum(image - full_well, 0.0)
-    q = image - excess
-    half = excess * 0.5
+    fw = jnp.asarray(full_well, image.dtype)
 
-    def absorb(carry, row):
-        q_r, inj = row
-        tot = q_r + inj + carry
-        out = jnp.minimum(tot, full_well)
-        return tot - out, out
+    def cond(v):
+        return (v > fw).any()
 
-    # upward sweep (toward increasing y): inject half the excess
-    carry_top, q = jax.lax.scan(absorb, jnp.zeros((W,), image.dtype),
-                                (q, half))
-    # downward sweep: the other half, plus whatever ran off the top
-    down_inj = half.at[-1].add(carry_top)
-    carry_bottom, q_rev = jax.lax.scan(
-        absorb, jnp.zeros((W,), image.dtype),
-        (q[::-1], down_inj[::-1]))
-    q = q_rev[::-1]
-    # carry_bottom escapes into the electronics (charge lost)
-    return q
+    return jax.lax.while_loop(cond, lambda v: _bleed_first_runs(v, fw),
+                              image)
 
 
 def segment_image(image, vendor: str):

@@ -72,6 +72,51 @@ def test_bleed_bottom_escape():
     assert out.max() <= 1000.0 + 1e-3
 
 
+def test_bleed_value_equivalence_vs_reference():
+    """Per-pixel equality with the reference's numpy bleed module
+    (imsim/bleed_trails.py imported directly — it depends only on
+    numpy) across the deviation-prone geometries: asymmetric nearly
+    full surroundings, bottom-edge escape, merging trails from two
+    runs in one channel, top-edge clipping, midline stop, and random
+    fuzz.  The alternating below/above fill order, the one-full-well-
+    per-step bottom escape, and the negative-capacity run interaction
+    must all match (VERDICT r3 item 7)."""
+    import importlib.util
+    import os
+
+    ref_path = "/root/reference/imsim/bleed_trails.py"
+    if not os.path.isfile(ref_path):
+        pytest.skip("reference module not available")
+    spec = importlib.util.spec_from_file_location("ref_bleed", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    fw = 1000.0
+    rng = np.random.default_rng(3)
+    cases = []
+    img = np.zeros((100, 5)); img[40:45, 2] = 2000.0
+    cases.append(("single run", img, False))
+    img = np.zeros((100, 5)); img[40:45, 2] = 3000.0; img[30:40, 2] = 950.0
+    cases.append(("asym nearly-full below", img, False))
+    img = np.zeros((100, 5)); img[1:4, 2] = 50000.0
+    cases.append(("bottom escape", img, False))
+    img = np.zeros((100, 5)); img[20:23, 2] = 50000.0; img[30:33, 2] = 5000.0
+    cases.append(("merging trails", img, False))
+    img = np.zeros((100, 5)); img[90:99, 2] = 30000.0
+    cases.append(("top clip", img, False))
+    for t in range(4):
+        img = rng.uniform(0, 1200, (64, 8))
+        img[rng.integers(5, 55), rng.integers(0, 8)] = rng.uniform(2e3, 8e4)
+        img[rng.integers(5, 55), rng.integers(0, 8)] = rng.uniform(2e3, 8e4)
+        cases.append((f"fuzz{t}", img, bool(t % 2)))
+    for name, img, midline in cases:
+        expect = ref.bleed_eimage(np.array(img, float).copy(), fw,
+                                  midline_stop=midline)
+        got = np.asarray(bleed_image(jnp.asarray(img, jnp.float32), fw,
+                                     midline_stop=midline))
+        np.testing.assert_allclose(got, expect, atol=0.01, err_msg=name)
+
+
 def test_segment_roundtrip():
     spec = VENDOR_SPECS["ITL"]
     ny, nx = spec["ny"], spec["nx"]
