@@ -125,13 +125,44 @@ class Bandpass:
         return np.trapezoid(f * self.throughput, self.wave) * pupil_area * exptime
 
 
-@lru_cache(maxsize=32)
-def hardware_bandpass(band: str) -> Bandpass:
+# Published full-aperture AB zeropoints (1 s, airmass 1.2): the mag of
+# an AB-flat source producing 1 e-/s through the complete system
+# (Rubin syseng_throughputs / SMTN-002 values, Ivezic et al. 2019
+# table 2 era).  The generated throughput curves are anchored to these
+# so absolute photometry and sky counts match the as-designed system
+# without shipping the rubin_sim data files.
+SYSTEM_ZEROPOINT_AB = {"u": 26.52, "g": 28.51, "r": 28.13,
+                       "i": 27.87, "z": 27.46, "y": 26.68}
+
+
+@lru_cache(maxsize=8)
+def _hardware_calibration(band: str) -> float:
+    """Throughput scale anchoring the generated system (hardware x
+    X=1.2 atmosphere, full aperture) to SYSTEM_ZEROPOINT_AB."""
+    from .instcat import RUBIN_AREA
+
+    raw = _hardware_bandpass_uncal(band)
+    atm = atmosphere_transmission(raw.wave, 1.2)
+    zp = Bandpass(raw.wave, raw.throughput * atm,
+                  band).with_zeropoint_ab().zeropoint
+    zp_full = zp + 2.5 * np.log10(RUBIN_AREA)
+    return 10.0 ** (-0.4 * (zp_full - SYSTEM_ZEROPOINT_AB[band]))
+
+
+@lru_cache(maxsize=8)
+def _hardware_bandpass_uncal(band: str) -> Bandpass:
     w = std_wave_grid()
     lo, hi = BAND_EDGES[band]
     filt = _erf_edge(w, lo, hi, _EDGE_WIDTH[band])
     t = filt * _ccd_qe(w) * _mirrors_lenses(w)
     return Bandpass(w, t, band)
+
+
+@lru_cache(maxsize=32)
+def hardware_bandpass(band: str) -> Bandpass:
+    raw = _hardware_bandpass_uncal(band)
+    return Bandpass(raw.wave,
+                    raw.throughput * _hardware_calibration(band), band)
 
 
 @lru_cache(maxsize=64)
@@ -238,6 +269,40 @@ def rubin_bandpass_from_files(band, throughputs_dir, airmass=None,
                                 unpack=True)
     t_total = t_hw * np.interp(w_hw, w_atm, t_atm, left=0.0, right=0.0)
     return Bandpass(w_hw, t_total, band).truncate(1e-3).with_zeropoint_ab()
+
+
+def load_bandpass_dict_pickle(path) -> dict[str, Bandpass]:
+    """Load a pickled lsst.sims BandpassDict (the reference ships the
+    DC2-production one, data/bp_dict_DC2Production.pkl, consumed by
+    imsim/sky_model.py:44-60 next to the sky-SED pickle).  The pickle
+    references lsst.sims.photUtils classes that are not importable
+    here, so class lookups under the ``lsst``/``rubin_sim`` namespaces
+    are shimmed to plain attribute holders; only the tabulated
+    (wavelen[nm], sb) arrays are consumed.  Returns band -> Bandpass
+    with AB zeropoints, drop-in for the generated curves."""
+    import pickle
+
+    class _Shim:
+        def __init__(self, *a, **k):
+            pass
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.startswith(("lsst", "rubin_sim", "rubin")):
+                return type(name, (_Shim,), {"__module__": module})
+            return super().find_class(module, name)
+
+    with open(path, "rb") as f:
+        obj = _Unpickler(f).load()
+    raw = getattr(obj, "_bandpassDict", None) or obj.__dict__.get(
+        "_bandpassDict")
+    out = {}
+    for band, bp in raw.items():
+        d = bp.__dict__
+        out[band] = Bandpass(np.asarray(d["wavelen"], float),
+                             np.asarray(d["sb"], float),
+                             band).truncate(1e-3).with_zeropoint_ab()
+    return out
 
 
 class AtmInterpolator:

@@ -33,6 +33,26 @@ EXTINCTION_K = {"u": 0.47, "g": 0.21, "r": 0.13,
 ZODI_POLE_SB = {"u": 24.9, "g": 23.8, "r": 23.1,
                 "i": 22.7, "z": 22.5, "y": 22.4}
 ECL_OBLIQUITY = np.radians(23.4393)
+# Solar AB magnitudes through the Rubin bands (Willmer 2018, ApJS 236,
+# 47) and Johnson V; moonlight and twilight are scattered sunlight, so
+# their per-band strength relative to each band's own dark sky follows
+# the solar color minus the dark-sky color.
+SUN_AB_MAG = {"u": 6.39, "g": 5.11, "r": 4.65,
+              "i": 4.53, "z": 4.50, "y": 4.50}
+V_SUN_AB = 4.81
+# Dark-sky V surface brightness consistent with K&S 1991's 79 nL
+# (their eq. 1: B = 34.08 exp(20.7233 - 0.92104 V) => V = 21.587)
+V_DARK_SB = 21.587
+
+
+def _solar_vs_dark_color(band: str) -> float:
+    """10^(-0.4 [(m_sun(band) - m_sun(V)) - (m_dark(band) - m_dark(V))]):
+    converts a V-band scattered-sunlight flux ratio (vs V dark sky) into
+    the same ratio in `band` (vs that band's dark sky).  The solar color
+    sets the numerator's spectrum; the dark-sky color the denominator's."""
+    col_sun = SUN_AB_MAG.get(band, V_SUN_AB) - V_SUN_AB
+    col_dark = DARK_SKY_SB.get(band, 21.0) - V_DARK_SB
+    return 10.0 ** (-0.4 * (col_sun - col_dark))
 
 
 def ecliptic_latitude(ra, dec):
@@ -56,8 +76,9 @@ def _krisciunas_schaefer_delta(moon_phase_deg, moon_alt_rad, sep_rad, k, X):
     Xm = (1 - 0.96 * np.sin(np.pi / 2 - moon_alt_rad) ** 2) ** -0.5
     Bmoon = frho * istar * 10 ** (-0.4 * k * Xm) \
         * (1 - 10 ** (-0.4 * k * X))
-    # Convert nanoLamberts to approximate flux ratio vs a 21.2 mag/arcsec^2
-    # dark sky (B_dark ~ 79 nL in V)
+    # K&S calibrate in V: 79 nL is their dark-sky zenith brightness
+    # (V = 21.587 via their eq. 1).  The V-band flux ratio; the caller
+    # color-corrects it into the observing band.
     return Bmoon / 79.0
 
 
@@ -109,12 +130,19 @@ class SkyModel:
         return vr * 10 ** (-0.4 * k * (X - 1))
 
     def _moon_factor(self, ra, dec):
-        """Krisciunas & Schaefer moonlight, as a ratio vs dark sky."""
+        """Krisciunas & Schaefer moonlight as a flux ratio vs THIS
+        band's dark sky: the K&S V-band ratio color-corrected by the
+        solar-vs-dark-sky color (moonlight is scattered sunlight), so
+        the moon matters more against the faint blue dark sky (g:
+        ~1.3x the V ratio) and much less against the bright red one
+        (z: ~0.2x) — the per-band behavior rubin_sim gets spectrally
+        (imsim/sky_model.py:44-85)."""
         k = EXTINCTION_K.get(self.band, 0.15)
         sep = angular_separation(ra, dec, self.moon_ra, self.moon_dec)
-        return _krisciunas_schaefer_delta(
+        ratio_v = _krisciunas_schaefer_delta(
             self.moon_phase_deg, self.moon_alt_rad, sep, k,
             self.airmass)
+        return ratio_v * _solar_vs_dark_color(self.band)
 
     def _zodi_factor(self, ra, dec):
         """Ecliptic morphology vs the POLE value (Leinert 1998)."""
@@ -122,11 +150,20 @@ class SkyModel:
         return 10 ** (0.4 * 1.3 * (1.0 - abs(np.sin(beta))))
 
     def _twilight_excess(self):
-        """Exponential brightening above sun alt -18 deg, vs dark."""
+        """Twilight brightening vs dark sky.  Scattered-sunlight decay
+        calibrated to the rubin_sim twilight component's behavior: the
+        r-band twilight flux crosses the dark-sky level near sun
+        altitude -13 deg and decays by 10x per ~2.5 deg below that
+        (Yoachim et al. 2016 twilight fits; Patat et al. 2006 measured
+        the same slope at Paranal), so it is negligible below -15 deg
+        (the old -18-deg-pivot form overshot 2x at -17 deg).  Per-band
+        strength follows the solar-vs-dark-sky color like moonlight."""
         sun_alt_deg = np.degrees(self.sun_alt_rad)
-        if sun_alt_deg > -18.0:
-            return 10 ** (0.4 * 1.1 * (sun_alt_deg + 18.0)) - 1.0
-        return 0.0
+        if sun_alt_deg <= -20.0:
+            return 0.0
+        ratio_r = 10.0 ** ((sun_alt_deg + 13.0) / 2.5)
+        color = _solar_vs_dark_color(self.band) / _solar_vs_dark_color("r")
+        return ratio_r * color
 
     def get_sky_level(self, ra, dec):
         """photons/arcsec^2 at (ra, dec) radians: airglow (van Rhijn +

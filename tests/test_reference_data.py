@@ -277,6 +277,30 @@ def test_dc2_sky_sed_pickle():
 
 
 @needs_ref
+def test_dc2_bandpass_dict_pickle():
+    """The reference's DC2-production BandpassDict pickle
+    (data/bp_dict_DC2Production.pkl, consumed next to the sky-SED
+    pickle by imsim/sky_model.py:44-60) loads without the lsst stack
+    and its measured throughputs agree with our generated curves:
+    effective wavelengths to < 3 nm and AB zeropoints to < 0.2 mag
+    per band (DC2-era throughputs differ from the SMTN-002 anchor by
+    up to ~0.18 mag in g)."""
+    from imsim_tpu.catalog.bandpass import (load_bandpass_dict_pickle,
+                                            rubin_bandpass)
+
+    bps = load_bandpass_dict_pickle(
+        os.path.join(REF, "data/bp_dict_DC2Production.pkl"))
+    assert set(bps) == set("ugrizy")
+    for band, ref_bp in bps.items():
+        ours = rubin_bandpass(band)
+        assert abs(ref_bp.effective_wavelength
+                   - ours.effective_wavelength) < 3.0, band
+        assert abs(ref_bp.zeropoint - ours.zeropoint) < 0.2, (
+            band, ref_bp.zeropoint, ours.zeropoint)
+        assert 0.05 < ref_bp.throughput.max() < 1.0
+
+
+@needs_ref
 def test_neg_pixel_bleed_regression():
     """The reference pins a measured saturated channel that once drove
     its bleed code negative (tests/test_bleed_trails.py:74-78 +
@@ -303,6 +327,19 @@ def test_neg_pixel_bleed_regression():
     # than input pixels above full well
     assert (out >= full_well * 0.999).sum() >= \
         (channel >= full_well).sum()
+
+    # VALUE-level equivalence: run the reference's own numpy bleed
+    # module (pure numpy, importable standalone) on the same channel
+    # and require per-pixel agreement to f32 rounding of the charge
+    # scale (full well ~2e5 e-; f32 cumsums carry ~0.1 e- error).
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_bleed", os.path.join(REF, "imsim/bleed_trails.py"))
+    ref_bleed = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_bleed)
+    expect = ref_bleed.bleed_channel(channel.copy(), full_well)
+    np.testing.assert_allclose(out, expect, atol=0.5)
 
 
 @needs_ref
