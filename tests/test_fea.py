@@ -126,3 +126,89 @@ def test_runner_uses_detector_height(tmp_path):
     sep = np.hypot((ra_a - ra_b) * np.cos(dec_a), dec_a - dec_b)
     assert sep > 0, "z offset had no effect on the WCS"
     assert sep < 1e-5                            # < 2 arcsec
+
+
+def test_measured_fea_modes_roundtrip(tmp_path):
+    """Measured-mode drop-in (the IMSIM_TPU_DATA_DIR pattern): write
+    mode tables in the documented fea/ npz exchange format, and verify
+    every fea: term reproduces the FILE's shapes — gravity sin/cos
+    composition, LUT cancellation against the same measured table,
+    temperature rows in M1M3_TEMP_KEYS order, bending modes under
+    aos_dof, camera scalars — with the file's own Noll start index.
+    Without the files the modeled basis remains the fallback (pinned
+    by the tests above)."""
+    import numpy as np
+
+    from imsim_tpu.optics.fea import (M1M3_TEMP_KEYS, fea_instructions,
+                                      load_measured_fea)
+
+    rng = np.random.default_rng(7)
+    nj = 12
+    jmin = 4
+    d = tmp_path / "fea"
+    d.mkdir()
+    m13 = dict(jmin=jmin,
+               m1_gravity=rng.normal(size=(2, nj)) * 1e-7,
+               m3_gravity=rng.normal(size=(2, nj)) * 1e-7,
+               m1_temp=rng.normal(size=(5, nj)) * 1e-8,
+               m3_temp=rng.normal(size=(5, nj)) * 1e-8,
+               m1_bending=rng.normal(size=(20, nj)),
+               m3_bending=rng.normal(size=(20, nj)))
+    m2 = dict(jmin=jmin,
+              m2_gravity=rng.normal(size=(2, nj)) * 1e-7,
+              m2_temp=rng.normal(size=(2, nj)) * 1e-8,
+              m2_bending=rng.normal(size=(20, nj)))
+    np.savez(d / "m1m3_modes.npz", **m13)
+    np.savez(d / "m2_modes.npz", **m2)
+    np.savez(d / "camera.npz", gravity_lat_m=3e-6, gravity_ax_m=1e-6,
+             temp_dz_m_per_C=2e-6)
+
+    meas = load_measured_fea(str(tmp_path))
+    assert meas is not None and meas["m1m3"] is not None
+
+    z = np.radians(30.0)
+    inst = fea_instructions({"m1m3_gravity": {"zenith": "30 deg"}},
+                            measured=meas)
+    want_m1 = np.sin(z) * m13["m1_gravity"][0] \
+        + (np.cos(z) - 1.0) * m13["m1_gravity"][1]
+    got = {s: (c, j) for _, s, c, j in inst}
+    np.testing.assert_allclose(got["M1"][0], want_m1, rtol=1e-12)
+    assert got["M1"][1] == jmin and got["M3"][1] == jmin
+
+    # LUT cancels the measured gravity exactly at error=0
+    both = fea_instructions({"m1m3_gravity": {"zenith": "30 deg"},
+                             "m1m3_lut": {"zenith": "30 deg"}},
+                            measured=meas)
+    tot = sum(c for op, s, c, j in both if s == "M1")
+    np.testing.assert_allclose(tot, 0.0, atol=1e-18)
+
+    # temperature rows follow M1M3_TEMP_KEYS order
+    args = {k: v for k, v in zip(M1M3_TEMP_KEYS, (0.5, 0, 0, 0, 0.2))}
+    inst = fea_instructions({"m1m3_temperature": args}, measured=meas)
+    want = 0.5 * m13["m3_temp"][0] + 0.2 * m13["m3_temp"][4]
+    got = {s: c for _, s, c, _ in inst}
+    np.testing.assert_allclose(got["M3"], want, rtol=1e-12)
+
+    # aos_dof bending modes use the measured tables (um amplitudes)
+    dof = np.zeros(50)
+    dof[10] = 1.0     # first M1M3 bending mode, 1 um
+    dof[30] = -2.0    # first M2 bending mode, -2 um
+    inst = fea_instructions({"aos_dof": {"dof": list(dof)}},
+                            measured=meas)
+    zs = {s: c for op, s, c, *r in inst if op == "zern"}
+    np.testing.assert_allclose(zs["M1"], m13["m1_bending"][0] * 1e-6,
+                               rtol=1e-12)
+    np.testing.assert_allclose(zs["M2"], -2.0 * m2["m2_bending"][0] * 1e-6,
+                               rtol=1e-12)
+
+    # camera scalars from the file
+    inst = fea_instructions({"camera_gravity": {"zenith": "60 deg"},
+                             "camera_temperature": {"camera_TBulk": 0.5}},
+                            measured=meas)
+    shifts = [v for op, s, v in inst if op == "shift"]
+    assert abs(np.hypot(shifts[0][0], shifts[0][1])
+               - 3e-6 * np.sin(np.radians(60))) < 1e-12
+    assert abs(shifts[1][2] - 1e-6) < 1e-12
+
+    # absent dir -> None (modeled fallback)
+    assert load_measured_fea(str(tmp_path / "nope")) is None
