@@ -529,6 +529,18 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
             path = resolve_sensor_model(name, search_dirs=dirs)
             bf_kernel = jnp.asarray(
                 bf_kernel_from_model(path, strength=strength))
+        elif not sensor_cfg.get("isotropic_kernel", False):
+            # DEFAULT: the measured per-vendor anisotropic kernel
+            # (shape from the reference's Poisson-solver vertex files,
+            # amplitude pinned to the calibrated PTC scale) — so
+            # default runs carry the channel-stop x/y asymmetry;
+            # image.sensor.isotropic_kernel: true restores the
+            # symmetric analytic kernel (sensor/silicon.py
+            # vendor_bf_kernel).
+            from ..sensor.silicon import vendor_bf_kernel
+
+            bf_kernel = jnp.asarray(vendor_bf_kernel(
+                ccd.vendor, strength=0.4 * strength))
         silicon = SiliconParams.make(
             treering_model=ctx.tree_rings.get(det_name),
             bf_strength=0.4 * strength)

@@ -31,7 +31,7 @@ scatter-add goes through the same binning path as the simple sensor.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -110,6 +110,43 @@ def default_bf_kernel(radius=4, strength=0.4):
     rr = np.hypot(X, Y)
     K = strength / np.sqrt(rr**2 + 0.8**2)
     return (K / 1e5).astype(np.float32)  # per-electron scale
+
+
+@lru_cache(maxsize=8)
+def vendor_bf_kernel(vendor: str, strength: float = 0.4,
+                     radius: int = 4) -> np.ndarray:
+    """Measured per-vendor BF kernel: the SHAPE (incl. the channel-stop
+    x/y anisotropy — the x first-neighbor coupling is ~1.4x the y one)
+    comes from the committed 9x9 kernels derived from the reference's
+    GalSim Poisson-solver vertex files (imsim_tpu/data/
+    bf_kernel_{itl,e2v}.npy, produced by
+    sensor_model.bf_kernel_from_model on the reference's
+    lsst_{itl,e2v}_50_32.dat); the AMPLITUDE is rescaled so the
+    central-pixel area response (the discrete laplacian at the core,
+    which sets the PTC a00) matches the calibrated isotropic default at
+    the same `strength` — default runs gain the measured anisotropy
+    without moving the PTC calibration
+    (tests/test_bf_quantitative.py).  Falls back to the isotropic
+    kernel for unknown vendors.  `strength` remains the config scale
+    knob (image.sensor.strength)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data",
+        f"bf_kernel_{str(vendor).lower()}.npy")
+    iso = default_bf_kernel(radius=radius, strength=strength)
+    if not os.path.isfile(path):
+        return iso
+    K = np.load(path).astype(np.float32)
+    if K.shape != iso.shape:
+        return iso
+    c = radius
+
+    def lap(M):
+        return float(M[c, c + 1] + M[c, c - 1] + M[c + 1, c]
+                     + M[c - 1, c] - 4.0 * M[c, c])
+
+    return (K * (lap(iso) / lap(K))).astype(np.float32)
 
 
 @jax.tree_util.register_pytree_node_class
