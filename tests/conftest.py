@@ -40,6 +40,7 @@ import pytest  # noqa: E402
 _SLOW_FILES = {
     "test_mesh_visit.py",
     "test_mesh_sizes.py",
+    "test_golden_visit.py",
     "test_multidet.py",
     "test_end_to_end.py",
     "test_config_pipeline.py",
