@@ -116,8 +116,9 @@ def _dict_wcs(node, view):
     d = view.resolve(node.get("dict", {}))
     crpix = [float(d.get("CRPIX1", 2048)) - 1,
              float(d.get("CRPIX2", 2048)) - 1]
-    cd = np.array([[-float(d.get("CD1_1", 5.5e-5)),
-                    -float(d.get("CD1_2", 0.0))],
+    # FITS CD read verbatim: internal cd is the same (u=east) frame
+    cd = np.array([[float(d.get("CD1_1", -5.5e-5)),
+                    float(d.get("CD1_2", 0.0))],
                    [float(d.get("CD2_1", 0.0)),
                     float(d.get("CD2_2", 5.5e-5))]])
     crval = [float(d.get("CRVAL1", 0.0)) * np.pi / 180,

@@ -100,8 +100,14 @@ class TanSipWCS:
             "CRPIX2": self.crpix[1] + 1,
             "CRVAL1": self.crval[0] * 180 / np.pi,
             "CRVAL2": self.crval[1] * 180 / np.pi,
-            "CD1_1": -self.cd[0, 0],  # u=east -> RA increases east; FITS RA
-            "CD1_2": -self.cd[0, 1],  # axis convention flips sign of east
+            # internal cd already maps pixels to (u=east, v=north) —
+            # exactly the FITS intermediate world coordinates (axis 1 =
+            # RA, increasing EAST): write it unchanged.  (A historical
+            # negation here mirrored every written WCS east-west; the
+            # textbook reading of the reference's golden header is the
+            # regression oracle, tests/test_golden_wcs.py.)
+            "CD1_1": self.cd[0, 0],
+            "CD1_2": self.cd[0, 1],
             "CD2_1": self.cd[1, 0],
             "CD2_2": self.cd[1, 1],
             "RADESYS": "ICRS",

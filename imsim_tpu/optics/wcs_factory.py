@@ -21,14 +21,6 @@ from .trace import trace, rays_from_field
 from .wcs import TanSipWCS, fit_tan_sip
 
 
-# Camera-leg frame constants, pinned against TWO reference oracles (the
-# golden eimage WCS of visit 449053 and the DC2 wcs_466749.yaml replay;
-# see tools/compare_golden_wcs.py): the rotator sense mapping the
-# reference's physical camera RotZ(rotTelPos) onto our field-level
-# rotation, and the EDCS->DVCS axis exchange the reference applies
-# between the raytrace and the focal plane (imsim/batoid_wcs.py:370-373
-# "x/y transpose to convert from EDCS to DVCS").
-ROTATOR_SIGN = -1.0
 # Orthogonal map from our trace's focal frame to the DVCS focal plane
 # the camera geometry lives in (composition of the reference's EDCS->
 # DVCS x/y exchange, imsim/batoid_wcs.py:370-373, with the relation
@@ -43,33 +35,67 @@ class WCSFactory:
         self.telescope = telescope
         self.wavelength = wavelength_nm
         self.order = order
-        rt = ROTATOR_SIGN * telescope.rotTelPos
-        self._crot = np.cos(rt)
-        self._srot = np.sin(rt)
-        # the reference's field frame: (u_west, v_north) about the
-        # OBSERVED boresight = A @ (thx, thy) with the involution
-        # A = [[c, s], [s, -c]] at angle -q_eff
-        # (imsim/batoid_wcs.py:310-350).  The reflection axis
-        # q_eff = 2*pq - q (= q minus twice the ICRS-vs-of-date north
-        # convergence) and FOCAL_FRAME above are pinned TOGETHER,
-        # empirically, against two independent reference outputs at
-        # different parallactic angles, epochs (2.1 yr apart), bands
-        # and rotator angles: the golden eimage WCS of visit 449053 and
-        # the DC2 wcs_466749.yaml replay.  Only this axis reconciles
-        # both (residual twist <= 0.02 deg; q alone leaves -2c, pq
-        # alone -c, where c = q - pq) — the reference realizes it
-        # through erfa/galsim conventions that we pin by measurement
-        # rather than re-derivation (tools/compare_golden_wcs.py,
-        # tests/test_golden_wcs.py).
+        # Sky tangent -> camera field is ONE involutory reflection,
+        #     (thx, thy) = Ref(rotTelPos - q) @ (e_east, n_north),
+        # with (e, n) the gnomonic tangent basis at the OBSERVED
+        # boresight in observed ra/dec and q the observed parallactic
+        # angle (position angle of zenith, N through E; erfa hd2pa in
+        # the reference, imsim/batoid_wcs.py:256-268).  Derivation:
+        # the reference's field frame is tube-aligned (thx ~ +azimuth,
+        # thy ~ +altitude at the boresight, batoid_wcs.py:323-333 —
+        # zenith sits at position angle q, hence the q in the axis) and
+        # the camera is physically rotated by rotTelPos against the
+        # tube.  The reflection axis was SOLVED, not guessed, from the
+        # reference's written solutions read in textbook FITS
+        # convention (tools/solve_frame.py): the golden eimage WCS of
+        # visit 449053 pins Ref(rotTelPos - q) to 0.001 deg; the DC2
+        # wcs_466749.yaml replay (different epoch/band/q/rotator)
+        # agrees to ~1 deg (PhoSim-era solution, SIP ignored in the
+        # solve).  Because q enters only through the physical zenith
+        # direction, the zenith lands at a pointing-INDEPENDENT pixel
+        # angle (rotTelPos - 180 deg in FITS-convention pixels), which
+        # both oracles satisfy — the signature of a rigid
+        # camera-on-rotator, and what makes diffraction spikes land at
+        # 45 deg - rotTelPos for every pointing.
         q = obs.parallactic_angle_observed()
-        pq = obs.pseudo_parallactic_angle()
-        self._q = 2.0 * pq - q
+        self._q = float(q)
+        ax = telescope.rotTelPos - self._q
+        self._cax = float(np.cos(ax))
+        self._sax = float(np.sin(ax))
         self._bore_rob, self._bore_dob = obs.azalt_to_observed_radec(
             np.atleast_1d(obs.bore_az), np.atleast_1d(obs.bore_alt))
         self._bore_rob = float(self._bore_rob[0])
         self._bore_dob = float(self._bore_dob[0])
         # linear field->focal scale for inversion seeds
         self._efl = self._measure_efl()
+
+    def altaz_to_field_jacobian(self):
+        """2x2 orthogonal Jacobian of the boresight-tangent alt-az ->
+        camera field map, measured numerically from THIS factory's own
+        observed->field chain (so photon-op kicks computed in the
+        alt-az frame — DCR zenith vectors, spider-spike deflections —
+        land exactly where the written WCS expects, whatever the frame
+        conventions resolve to).  Columns: image of the horizontal
+        (+azimuth) and zenith-ward (+altitude) unit tangents,
+        field = J @ (d_horiz, d_alt).  Unit-orthogonal to ~1e-5
+        (asserted); parity is not assumed."""
+        eps = 1e-7
+        az0, alt0 = self.obs.bore_az, self.obs.bore_alt
+
+        def field_of(az, alt):
+            ra, dec = self.obs.observed_to_icrf(np.atleast_1d(az),
+                                                np.atleast_1d(alt))
+            thx, thy = self.icrf_to_field(ra, dec)
+            return np.array([float(thx[0]), float(thy[0])])
+
+        f0 = field_of(az0, alt0)
+        je = (field_of(az0 + eps / np.cos(alt0), alt0) - f0) / eps
+        jn = (field_of(az0, alt0 + eps) - f0) / eps
+        J = np.stack([je, jn], axis=1)
+        assert np.allclose(J @ J.T, np.eye(2), atol=1e-4), J
+        # exact orthogonalization of the finite-difference estimate
+        u, _, vt = np.linalg.svd(J)
+        return u @ vt
 
     # --- field <-> focal (raytrace) --------------------------------------
     def field_to_focal_m(self, thx, thy, tel=None):
@@ -121,34 +147,25 @@ class WCSFactory:
         return thx, thy
 
     # --- ICRF <-> field ---------------------------------------------------
-    def _sky_to_field(self, u_west, v_north):
-        """Reference field frame: (thx, thy) = A(-q) @ (u, v), A
-        involutory (so this is also the inverse map)."""
-        cq, sq = np.cos(-self._q), np.sin(-self._q)
-        return (cq * u_west + sq * v_north,
-                sq * u_west - cq * v_north)
+    def _sky_to_field(self, e_east, n_north):
+        """The pinned frame reflection Ref(rotTelPos - q): involutory,
+        so this is also the field -> tangent map (see __init__)."""
+        return (self._cax * e_east + self._sax * n_north,
+                self._sax * e_east - self._cax * n_north)
 
     def icrf_to_field(self, ra, dec):
         """ICRF -> camera-frame field angles (the photon-op input;
-        imsim/batoid_wcs.py:499-505).  Frames follow the reference
-        exactly: gnomonic about the OBSERVED boresight in observed
-        ra/dec with (u west, v north), then the q-involution to field
-        angles (thx = +d(az) sin z, thy = -d(alt)), then the rotator."""
+        imsim/batoid_wcs.py:499-505): gnomonic about the OBSERVED
+        boresight in observed ra/dec, then the single pinned
+        reflection Ref(rotTelPos - q) (rotator included)."""
         rob, dob = self.obs.icrf_to_observed_radec(
             np.asarray(ra, float), np.asarray(dec, float))
         e, n = gnomonic_project(rob, dob, self._bore_rob, self._bore_dob)
-        thx, thy = self._sky_to_field(-e, n)
-        # rotator: reference rotates the camera optic by RotZ(rotTelPos);
-        # equivalent field-level rotation for our unrotated trace
-        cx = self._crot * thx + self._srot * thy
-        cy = -self._srot * thx + self._crot * thy
-        return cx, cy
+        return self._sky_to_field(e, n)
 
     def field_to_icrf(self, thx, thy):
-        u = self._crot * thx - self._srot * thy
-        v = self._srot * thx + self._crot * thy
-        uw, vn = self._sky_to_field(u, v)   # A is its own inverse; reuse
-        rob, dob = gnomonic_deproject(-uw, vn, self._bore_rob,
+        e, n = self._sky_to_field(thx, thy)   # involution: self-inverse
+        rob, dob = gnomonic_deproject(e, n, self._bore_rob,
                                       self._bore_dob)
         return self.obs.observed_radec_to_icrf(rob, dob)
 

@@ -37,7 +37,16 @@ class OpticsContext:
 
     bore_alt: jax.Array       # observed boresight altitude [rad]
     bore_az: jax.Array
-    crot: jax.Array           # cos/sin rotTelPos (field <-> alt-az frames)
+    # orthogonal alt-az -> camera field Jacobian at the boresight,
+    # field = [[j00, j01], [j10, j11]] @ (d_horiz, d_alt); inverse is
+    # the transpose (wcs_factory.altaz_to_field_jacobian)
+    j00: jax.Array
+    j01: jax.Array
+    j10: jax.Array
+    j11: jax.Array
+    # cos/sin rotTelPos: spider-kick frame -> camera field (see
+    # field_to_sensor; the reference's 45deg - rotTelPos spike law)
+    crot: jax.Array
     srot: jax.Array
     k1_ref: jax.Array         # refraction coefs at the WCS wavelength
     k2_ref: jax.Array
@@ -54,7 +63,8 @@ class OpticsContext:
     h2o_kpa: float
 
     def tree_flatten(self):
-        return ((self.bore_alt, self.bore_az, self.crot, self.srot,
+        return ((self.bore_alt, self.bore_az, self.j00, self.j01,
+                 self.j10, self.j11, self.crot, self.srot,
                  self.k1_ref, self.k2_ref, self.det_cx_mm, self.det_cy_mm,
                  self.det_crot, self.det_srot, self.xi_table),
                 (self.det_nx, self.det_ny, self.latitude,
@@ -73,19 +83,19 @@ def make_optics_context(wcs_factory, ccd) -> OpticsContext:
     wgrid = np.linspace(XI_WAVE_MIN, XI_WAVE_MAX, XI_N)
     xi = G.air_index_excess(np, wgrid, obs.pressure_kpa,
                             obs.temperature_k, obs.h2o_pressure_kpa)
+    # The alt-az -> camera tangent map is MEASURED from the WCS
+    # factory's own observed->field chain (numeric Jacobian at the
+    # boresight) rather than re-derived from rotTelPos/parallactic-
+    # angle conventions, so photon-op kicks (DCR zenith vectors,
+    # spider-spike deflections) stay exactly consistent with the
+    # written WCS by construction.
+    J = wcs_factory.altaz_to_field_jacobian()
+    rtp = wcs_factory.telescope.rotTelPos
     return OpticsContext(
         bore_alt=f(obs.bore_alt), bore_az=f(obs.bore_az),
-        # alt-az <-> camera is a REFLECTION at angle
-        # psi = ROTATOR_SIGN*rotTelPos - 2*q_eff (the involution of the
-        # field frame composed with the rotator; optics.wcs_factory —
-        # using the factory's own axis keeps photon landing and the
-        # written WCS mutually consistent):
-        #   cam = [[cos psi, sin psi], [sin psi, -cos psi]] @ (az, alt)
-        # and the same matrix maps camera back to alt-az (involution).
-        crot=f(np.cos(_rotator_sign() * wcs_factory.telescope.rotTelPos
-                      - 2.0 * wcs_factory._q)),
-        srot=f(np.sin(_rotator_sign() * wcs_factory.telescope.rotTelPos
-                      - 2.0 * wcs_factory._q)),
+        j00=f(J[0, 0]), j01=f(J[0, 1]),
+        j10=f(J[1, 0]), j11=f(J[1, 1]),
+        crot=f(np.cos(rtp)), srot=f(np.sin(rtp)),
         k1_ref=f(obs.k1), k2_ref=f(obs.k2),
         det_cx_mm=f(ccd.center_mm[0]), det_cy_mm=f(ccd.center_mm[1]),
         det_crot=f(np.cos(np.radians(getattr(ccd, "rot_deg", 0.0)))),
@@ -95,11 +105,6 @@ def make_optics_context(wcs_factory, ccd) -> OpticsContext:
         latitude=float(obs.lat), pressure_kpa=float(obs.pressure_kpa),
         temperature_k=float(obs.temperature_k),
         h2o_kpa=float(obs.h2o_pressure_kpa))
-
-
-def _rotator_sign():
-    from ..optics.wcs_factory import ROTATOR_SIGN
-    return ROTATOR_SIGN
 
 
 def dcr_kick(ctx: OpticsContext, thx, thy, wavelength_nm):
@@ -115,9 +120,9 @@ def dcr_kick(ctx: OpticsContext, thx, thy, wavelength_nm):
     TPU note: the Edlen index is evaluated analytically per photon —
     ~10 VPU flops — instead of a table gather (random gathers cost
     ~8.6 ns/row on this chip regardless of width; flops are free)."""
-    # altitude offset of this photon: camera -> alt-az via the psi
-    # reflection (see make_optics_context)
-    v = ctx.srot * thx - ctx.crot * thy
+    # altitude offset of this photon: camera -> alt-az via J^T (J is
+    # orthogonal; see make_optics_context)
+    v = ctx.j01 * thx + ctx.j11 * thy
     alt = ctx.bore_alt + v
     xi = G.air_index_excess(jnp, wavelength_nm, ctx.pressure_kpa,
                             ctx.temperature_k, ctx.h2o_kpa)
@@ -126,8 +131,8 @@ def dcr_kick(ctx: OpticsContext, thx, thy, wavelength_nm):
     k2 = -xi * (beta + xi * 0.5)
     tz = jnp.tan(jnp.clip(0.5 * jnp.pi - alt, 0.0, 1.5))
     dalt = (k1 - ctx.k1_ref) * tz + (k2 - ctx.k2_ref) * tz**3
-    # zenith-ward kick: alt-az delta (0, dalt) through the psi reflection
-    return thx + ctx.srot * dalt, thy - ctx.crot * dalt
+    # zenith-ward kick: alt-az delta (0, dalt) through J
+    return thx + ctx.j01 * dalt, thy + ctx.j11 * dalt
 
 
 def silicon_refraction(vx, vy, vz, wavelength_nm):
@@ -163,13 +168,22 @@ def field_to_sensor(key, tel, ctx: OpticsContext, thx, thy, pupil_u,
             t=time_s, latitude=ctx.latitude,
             altitude=ctx.bore_alt, azimuth=ctx.bore_az,
             enable_field_rotation=field_rotation)
-        # the kick is computed in the telescope (alt-az) frame, where
-        # the spider lives; (thx, thy) are CAMERA-frame field angles.
-        # alt-az -> camera via the psi reflection (make_optics_context)
-        # — the rotator turns the camera, not the spider
-        # (imsim/photon_ops.py:211-250).
+        # Spider-kick frame -> camera field: rotate by -rotTelPos.  The
+        # reference's convention (implemented identically in its FFT
+        # overlay, imsim/diffraction_fft.py:152 "rottelpos = pi/4 -
+        # rottelpos", asserted by its tests and its own raytrace golden
+        # at rtp=20: tests/data/fft-diffraction/*.npz angle=25.07 deg)
+        # is that spikes land at 45 deg - rotTelPos in pixel
+        # coordinates at any pointing.  Our field->pixel map is the
+        # det-yaw rotation composed with R(-90), a pure rotation, so
+        # arms at 45-fold rotated by -rotTelPos in field coordinates
+        # land exactly there; field rotation sweeps them by -theta(t)
+        # inside D.apply_diffraction.  (Note this frame is the
+        # reference's MODEL, not tube-fixed physics: a tube-fixed
+        # spider would make pixel spikes co-rotate with +rotTelPos, the
+        # sense the written-WCS zenith invariant follows.)
         thx = thx + (ctx.crot * dthx + ctx.srot * dthy)
-        thy = thy + (ctx.srot * dthx - ctx.crot * dthy)
+        thy = thy + (-ctx.srot * dthx + ctx.crot * dthy)
 
     px, py, pz, vx, vy, vz = rays_from_field(jnp, thx, thy, pupil_u,
                                              pupil_v)

@@ -271,9 +271,11 @@ def test_photon_spike_orientation_tracks_rotator_and_field_rotation():
         zm = np.exp(1j * 4 * a).mean()
         return np.degrees(np.angle(zm) / 4) % 90
 
-    def shoot(rot_deg, ra_deg, dec_deg, exptime, fieldrot, n=1 << 21):
-        fac = make_wcs_factory(ra_deg * DEG, dec_deg * DEG, mjd=60674.2,
-                               band="r", rotTelPos=rot_deg * DEG)
+    def shoot(rot_deg, ra_deg, dec_deg, exptime, fieldrot, n=1 << 21,
+              mjd=60674.2, **obs_kw):
+        fac = make_wcs_factory(ra_deg * DEG, dec_deg * DEG, mjd=mjd,
+                               band="r", rotTelPos=rot_deg * DEG,
+                               **obs_kw)
         ccd = get_camera("LsstCamSim")["R22_S11"]
         wcs = fac.get_wcs(ccd)
         ctx = make_optics_context(fac, ccd)
@@ -299,17 +301,32 @@ def test_photon_spike_orientation_tracks_rotator_and_field_rotation():
         return folded_angle(x, y, w, cx, cy), ctx
 
     # rotator: spikes at 45 - rotTelPos (estimator noise ~1.5 deg:
-    # only ~5% of annulus photons are spike photons)
+    # only ~5% of annulus photons are spike photons).  The same chain
+    # reproduces the reference's raytraced golden 25.07 deg at its own
+    # visit (tests/data/fft-diffraction, rtp=20) — pinned below.
     a20, _ = shoot(20.0, 30.0, -20.0, 30.0, False)
     assert abs(a20 - 25.0) < 3.0, a20
-    # field rotation at a theta<0 pointing (az west of zenith): the
-    # -theta sweep must INCREASE the folded angle
-    a_rot, ctx = shoot(20.0, 100.0, -30.2446, 300.0, True)
+    # the reference's own raytraced golden visit (test_diffraction_fft
+    # boresight, obstime 2022-08-06T06:50:59.3376 UTC, rtp=20):
+    # raytrace_diffraction_values_0_exptime.npz records angle=25.07,
+    # stddev 2.73
+    a_ref, _ = shoot(20.0, np.degrees(1.1047934165124105),
+                     np.degrees(-0.5261230452954583), 0.0, False,
+                     mjd=59797.28540899977, time_scale="utc",
+                     temperature_k=280.0, pressure_kpa=72.7,
+                     h2o_pressure_kpa=1.0)
+    assert abs(a_ref - 25.07) < 3.0, a_ref
+    # field rotation at a theta<0 pointing: the -theta sweep must
+    # INCREASE the folded angle.  (600 s at alt 75 gives theta ~ -4
+    # deg; the old near-zenith pointing became degenerate — alt 90.0
+    # exactly — once the TAI time scales were fixed.)
+    a_rot, ctx = shoot(20.0, 100.0, -45.0, 600.0, True)
     from imsim_tpu.photons.diffraction import field_rotation_angle
-    ts = np.linspace(0.0, 300.0, 16)
+    ts = np.linspace(0.0, 600.0, 16)
     th = np.degrees(np.asarray(field_rotation_angle(
         ts, np.radians(-30.24463), float(ctx.bore_alt),
         float(ctx.bore_az))))
-    expected = 25.0 - th.mean()
+    expected = (25.0 - th.mean()) % 90.0
     assert th.mean() < -3.0            # strongly rotating pointing
-    assert abs(a_rot - expected) < 3.0, (a_rot, expected)
+    d = (a_rot - expected + 45.0) % 90.0 - 45.0
+    assert abs(d) < 3.0, (a_rot, expected)

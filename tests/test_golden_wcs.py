@@ -43,7 +43,9 @@ def _golden_wcs():
     # GS_XMIN=1 image unshifted, so stored CRPIX are 0-based (the
     # boresight lands exactly on the detector center only this way).
     crpix = np.array([hdr["CRPIX1"], hdr["CRPIX2"]])
-    cd = np.array([[-hdr["CD1_1"], -hdr["CD1_2"]],
+    # textbook FITS convention, verbatim: axis 1 of the intermediate
+    # world coords IS RA (increasing east), matching our internal cd
+    cd = np.array([[hdr["CD1_1"], hdr["CD1_2"]],
                    [hdr["CD2_1"], hdr["CD2_2"]]])
     crval = np.array([hdr["CRVAL1"], hdr["CRVAL2"]]) * np.pi / 180
     order = int(hdr.get("A_ORDER", 0))
@@ -104,9 +106,9 @@ def test_golden_visit_wcs_scale_and_parity():
 def _dc2_cd(key_text):
     m2 = re.search(r"array\(\[\[([-0-9.e, ]+)\], \[([-0-9.e, ]+)\]\]\)",
                    key_text)
-    cd = np.array([np.fromstring(m2.group(1), sep=","),
-                   np.fromstring(m2.group(2), sep=",")])
-    return np.array([[-cd[0, 0], -cd[0, 1]], [cd[1, 0], cd[1, 1]]])
+    # verbatim: GSFitsWCS's stored cd is the FITS CD (axis 1 = RA, east)
+    return np.array([np.fromstring(m2.group(1), sep=","),
+                     np.fromstring(m2.group(2), sep=",")])
 
 
 def test_dc2_replay_orientation_all_rafts():

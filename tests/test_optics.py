@@ -271,15 +271,18 @@ def test_dcr_amplitude_and_direction():
     # local WCS jacobian of the photon path itself: trace two nearby
     # field points achromatically? Simpler: compare magnitudes and
     # verify direction alignment with the alt-az +v axis.
-    srot = float(np.asarray(ctx.srot))
-    crot = float(np.asarray(ctx.crot))
+    # zenith-ward FIELD direction J @ (0,1), mapped to pixel axes by
+    # the field->pixel rotation R(-90) (trace + FOCAL_FRAME; det yaw 0)
+    zfx = float(np.asarray(ctx.j01))
+    zfy = float(np.asarray(ctx.j11))
+    zx, zy = zfy, -zfx
     plate_rad_per_px = 0.2 * np.pi / 180 / 3600
     expect_px = dalt / plate_rad_per_px
     meas_px = np.hypot(dx_px, dy_px)
     assert abs(meas_px - abs(expect_px)) < 0.25 * abs(expect_px) + 0.3, \
         (meas_px, expect_px)
     # direction: parallel (or antiparallel per pixel-axis orientation)
-    # to the zenith-ward field direction (srot, crot)
-    dirdot = (dx_px * srot + dy_px * crot) / max(meas_px, 1e-9) \
-        / np.hypot(srot, crot)
+    # to the zenith-ward field direction J @ (0, 1)
+    dirdot = (dx_px * zx + dy_px * zy) / max(meas_px, 1e-9) \
+        / np.hypot(zx, zy)
     assert abs(abs(dirdot) - 1.0) < 0.2, dirdot

@@ -93,12 +93,21 @@ def star_renderer():
 
 def _stats(render_j, pair, share=1):
     sizes, stamps = [], []
+    cxy = None
     for t in range(TRIALS):
         img = np.asarray(render_j(jax.random.PRNGKey(7000 + t), pair,
                                   share))
-        sub = img[2048 - 64:2048 + 64, 2048 - 64:2048 + 64]
-        iy, ix = np.unravel_index(np.argmax(sub), sub.shape)
-        cy, cx = 2048 - 64 + iy, 2048 - 64 + ix
+        # FIXED stamp frame for every trial: re-centering on the
+        # per-trial argmax made the per-pixel trial variance explode
+        # whenever the peak pixel hopped by one (two near-equal core
+        # pixels), swamping the excess statistic with alignment noise
+        # rather than sampling noise.  The star is always drawn at the
+        # same truth position, so a common window is the right frame.
+        if cxy is None:
+            sub = img[2048 - 64:2048 + 64, 2048 - 64:2048 + 64]
+            iy, ix = np.unravel_index(np.argmax(sub), sub.shape)
+            cxy = (2048 - 64 + ix, 2048 - 64 + iy)
+        cx, cy = cxy
         s = img[cy - 24:cy + 25, cx - 24:cx + 25]
         yy, xx = np.mgrid[-24:25, -24:25]
         tot = s.sum()

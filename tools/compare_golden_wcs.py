@@ -33,8 +33,9 @@ def golden_wcs():
     # center (2047.5, 2001.5) only under this reading (measured here:
     # the 1-based reading leaves an exact (-1,-1)-pixel offset).
     crpix = np.array([hdr["CRPIX1"], hdr["CRPIX2"]])
-    # header CD is FITS convention; our internal cd stores u=east
-    cd = np.array([[-hdr["CD1_1"], -hdr["CD1_2"]],
+    # textbook FITS convention, verbatim (axis 1 = RA, increasing east
+    # — the same frame our internal cd uses)
+    cd = np.array([[hdr["CD1_1"], hdr["CD1_2"]],
                    [hdr["CD2_1"], hdr["CD2_2"]]])
     crval = np.array([hdr["CRVAL1"], hdr["CRVAL2"]]) * np.pi / 180
     order = int(hdr.get("A_ORDER", 0))
