@@ -113,6 +113,15 @@ def build_visit_context(cfg: dict, logger=None) -> VisitContext:
     if wcfg.get("order") is not None:
         # SIP fit order (imsim/batoid_wcs.py:429-453 default 3)
         weather["order"] = int(wcfg["order"])
+    if wcfg.get("dut1") is not None:
+        # measured UT1-UTC [s]; overrides any EOP-file value
+        weather["dut1"] = float(wcfg["dut1"])
+    if wcfg.get("eop_file"):
+        # IERS finals2000A.all path: measured UT1-UTC + polar motion
+        # (the reference ships data/19-10-30-finals2000A.all; its own
+        # erfa chain runs with IERS lookups disabled, imsim/utils.py:19-28
+        # — this key turns the real EOP on)
+        weather["eop"] = _data(wcfg["eop_file"])
     fac = make_wcs_factory(ra, dec, float(ods.get("mjd_mid", 60674.0)),
                            band=band, telescope=telescope, **weather)
 

@@ -345,6 +345,16 @@ def pooled_plan(host: SceneHost, modes, cfg: PoolingConfig):
     sel = np.asarray(modes) != FFT
     counts = np.where(sel, host.flux[:host.n_objects], 0).astype(np.int64)
     total = int(counts.sum())
+    if total >= 2 ** 31:
+        # the pooled bookkeeping (cumulative counts, obj map, batch
+        # ordinals) is int32 by design — a deliberate memory trade at
+        # ~20x the nominal 1e8-photon visit.  Fail loudly instead of
+        # wrapping around (a catalog normalization bug typically lands
+        # here first).
+        raise ValueError(
+            f"visit photon total {total:.3e} exceeds the int32 pooled-"
+            f"pass capacity (2.1e9 photons/CCD); check catalog "
+            f"normalization or split the exposure into snaps")
     pair = max(cfg.pupil_pairing, 1)
     share = max(cfg.screen_share, 1) if pair > 1 else 1
     nb = pick_nbatch(total, cfg) if total > 0 else 1

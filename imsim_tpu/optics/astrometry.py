@@ -55,6 +55,53 @@ RUBIN_HEIGHT = 2715.0          # m
 RUBIN_PRESSURE_KPA = 101.325 * (1 - 2.25577e-5 * RUBIN_HEIGHT) ** 5.25588
 
 
+def load_iers_finals(path):
+    """(mjd, xp_arcsec, yp_arcsec, dut1_s) arrays from an IERS
+    finals2000A.all file (the fixed-column standard; the reference
+    ships a 2019 snapshot, data/19-10-30-finals2000A.all).  Rows with
+    no measured/predicted values (far-future padding) are dropped."""
+    mjds, xps, yps, duts = [], [], [], []
+    with open(path) as f:
+        for ln in f:
+            try:
+                mjd = float(ln[7:15])
+                xp = float(ln[18:27])
+                yp = float(ln[37:46])
+                du = float(ln[58:68])
+            except (ValueError, IndexError):
+                continue
+            mjds.append(mjd)
+            xps.append(xp)
+            yps.append(yp)
+            duts.append(du)
+    if not mjds:
+        raise ValueError(f"no usable EOP rows in {path}")
+    return (np.asarray(mjds), np.asarray(xps), np.asarray(yps),
+            np.asarray(duts))
+
+
+_EOP_CACHE: dict = {}
+
+
+def eop_for_mjd(eop, mjd_utc):
+    """(xp_arcsec, yp_arcsec, dut1_s) at mjd_utc.  `eop` is a finals
+    file path or a preloaded (mjd, xp, yp, dut1) tuple.  Linear
+    interpolation; epochs outside the table clamp to the nearest end
+    (the honest choice without a prediction model — polar motion
+    wanders +-0.3 arcsec, so an out-of-range epoch keeps only the
+    order of magnitude)."""
+    if isinstance(eop, (str, bytes)):
+        tab = _EOP_CACHE.get(eop)
+        if tab is None:
+            tab = _EOP_CACHE[eop] = load_iers_finals(eop)
+    else:
+        tab = eop
+    mjds, xp, yp, du = tab
+    return (float(np.interp(mjd_utc, mjds, xp)),
+            float(np.interp(mjd_utc, mjds, yp)),
+            float(np.interp(mjd_utc, mjds, du)))
+
+
 def _jc(mjd):
     """Julian centuries of TT since J2000."""
     return (mjd - 51544.5) / 36525.0
@@ -289,7 +336,8 @@ class Observation:
     def __init__(self, boresight_ra, boresight_dec, mjd,
                  wavelength_nm=622.0, lat=RUBIN_LAT, lon=RUBIN_LON,
                  pressure_kpa=RUBIN_PRESSURE_KPA, temperature_k=280.0,
-                 h2o_pressure_kpa=1.0, dut1=0.0, time_scale="tai"):
+                 h2o_pressure_kpa=1.0, dut1=None, time_scale="tai",
+                 eop=None):
         # Rubin MJDs (opsim, phosim headers) are TAI (the reference
         # constructs astropy Time(..., scale='tai'),
         # imsim/batoid_wcs.py:607-612).  Earth rotation needs UT1
@@ -304,6 +352,28 @@ class Observation:
             mjd_tt = mjd + (37.0 + 32.184) / 86400.0
         else:
             raise ValueError(f"unknown time_scale {time_scale!r}")
+        # Earth-orientation parameters: `eop` is a finals2000A.all path
+        # (or preloaded arrays) supplying measured UT1-UTC and polar
+        # motion (the reference ships one: data/19-10-30-finals2000A.all,
+        # though it runs with IERS lookups disabled, imsim/utils.py:19-28).
+        # An explicit dut1 argument wins over the file.
+        xp_as = yp_as = 0.0
+        if eop is not None:
+            xp_as, yp_as, dut1_file = eop_for_mjd(eop, mjd_utc)
+            if dut1 is None:
+                dut1 = dut1_file
+        dut1 = 0.0 if dut1 is None else float(dut1)
+        # Polar motion: first-order shift of the site's ASTRONOMICAL
+        # coordinates from the CIP-vs-ITRF pole offset (classic
+        # reduction; exact to << 1 mas for |xp|,|yp| < 0.4 arcsec):
+        #   dphi    = xp cos(lon) - yp sin(lon)
+        #   dlambda = (xp sin(lon) + yp cos(lon)) tan(phi)
+        if xp_as or yp_as:
+            lat = lat + (xp_as * np.cos(lon)
+                         - yp_as * np.sin(lon)) * ARCSEC
+            lon = lon + (xp_as * np.sin(lon)
+                         + yp_as * np.cos(lon)) * np.tan(lat) * ARCSEC
+        self.xp_as, self.yp_as, self.dut1 = xp_as, yp_as, dut1
         self.mjd = mjd
         self.mjd_tt = mjd_tt
         self.mjd_ut1 = mjd_utc + dut1 / 86400.0

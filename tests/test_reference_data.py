@@ -491,3 +491,47 @@ def test_spike_statistics_vs_raytrace_golden_field_rotation():
         np.degrees(float(d["angle_stddev"])) ** 2
         - np.degrees(float(d0["angle_stddev"])) ** 2, 0.0))
     assert abs(smear_ours - smear_gold) < 1.5, (smear_ours, smear_gold)
+
+
+@needs_ref
+def test_iers_finals_eop():
+    """The reference's shipped IERS finals2000A.all snapshot
+    (data/19-10-30-finals2000A.all) drives measured Earth-orientation
+    parameters: UT1-UTC and polar motion (image.wcs.eop_file).  First
+    row pinned against the file text; an in-range Observation shifts by
+    the expected sub-arcsecond amounts; an explicit dut1 wins."""
+    import numpy as np
+
+    from imsim_tpu.optics.astrometry import (Observation, eop_for_mjd,
+                                             load_iers_finals)
+
+    path = os.path.join(REF, "data/19-10-30-finals2000A.all")
+    mjd, xp, yp, du = load_iers_finals(path)
+    assert len(mjd) > 10_000
+    assert np.all(np.abs(xp) < 0.6) and np.all(np.abs(yp) < 0.6)
+    assert np.all(np.abs(du) < 1.0)
+    # first data row: 1973-01-02
+    x0, y0, d0 = eop_for_mjd(path, 41684.0)
+    assert abs(x0 - 0.120733) < 1e-6
+    assert abs(y0 - 0.136966) < 1e-6
+    assert abs(d0 - 0.8084178) < 1e-7
+    # an Observation in the measured range: polar motion + dut1 move
+    # the observed frame at the sub-arcsec level
+    DEG = np.pi / 180
+    kw = dict(wavelength_nm=622.0, time_scale="utc")
+    base = Observation(30 * DEG, -20 * DEG, 58804.3, **kw)
+    eopd = Observation(30 * DEG, -20 * DEG, 58804.3, eop=path, **kw)
+    assert eopd.dut1 != 0.0 and abs(eopd.dut1) < 1.0
+    assert 0.0 < abs(eopd.xp_as) < 0.6
+    # the site's astronomical latitude moved by ~|PM|
+    dlat_as = abs(eopd.lat - base.lat) / DEG * 3600
+    assert 0.0 < dlat_as < 0.9
+    # dut1 rotates LAST by 15"/s of time
+    dlast_as = abs(eopd.last - base.last) / DEG * 3600
+    expect = abs(eopd.dut1) * 15.041
+    # (LAST also carries the polar-motion longitude shift)
+    assert abs(dlast_as - expect) < 1.0, (dlast_as, expect)
+    # explicit dut1 wins over the file
+    ex = Observation(30 * DEG, -20 * DEG, 58804.3, eop=path, dut1=0.0,
+                     **kw)
+    assert ex.dut1 == 0.0
