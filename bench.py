@@ -84,6 +84,115 @@ def build_synthetic_host(fac, ccd, n_obj=100_000, total_photons=1.0e8,
                      n_objects=n_obj)
 
 
+def bench_visit(n_photons_per_ccd=1.0e8, obj_per_ccd=12_000,
+                outdir=None):
+    """Production wall-clock: a full 9-CCD ComCam visit through
+    `run_visit_iter` — instance-catalog parse -> per-CCD prep (WCS,
+    scene build, SED photometry; prefetched on a host thread) ->
+    pooled photon render -> readout -> RICE-compressed amp FITS +
+    eimage + truth-catalog IO — measured twice end-to-end; the second
+    pass (compiled kernels + warm caches, the steady state of batch
+    production via `imsim_tpu --visits`) is the headline number.
+    VERDICT r3 item 10: records what the design notes claim about host
+    prep/IO overlap with real files on disk.
+
+    Run manually:  python bench.py --visit
+    """
+    import shutil
+    import tempfile
+
+    from imsim_tpu.config.runner import run_visit_iter
+
+    rng = np.random.default_rng(7)
+    work = tempfile.mkdtemp(prefix="bench_visit_")
+    try:
+        sed_dir = os.path.join(work, "seds", "flatSED")
+        os.makedirs(sed_dir)
+        w = np.linspace(300, 1150, 200)
+        np.savetxt(os.path.join(sed_dir, "sed_flat.txt"),
+                   np.column_stack([w, np.ones_like(w)]))
+        # ComCam: 9 CCDs in a ~0.68 deg square; spread objects over it.
+        # magnorm tuned so the flat SED's r-band rate carries the target
+        # photon budget per CCD with a realistic bright tail.
+        n_obj = 9 * obj_per_ccd
+        lines = [
+            "rightascension 30.0", "declination -20.0", "mjd 60674.2",
+            "filter 2", "seeing 0.7", "vistime 30.0", "rottelpos 0.0",
+            "obshistid 9100", "altitude 60.0",
+        ]
+        # photons/object ~ power law; normalize to the per-CCD budget
+        raw = 10 ** rng.uniform(0.0, 2.2, n_obj) ** 1.35
+        phot = raw / raw.sum() * (9 * n_photons_per_ccd)
+        # magnorm that yields `phot` photons in 30 s through the actual
+        # photometry chain (flat f_lambda SED, magnorm-0 normalization
+        # at 500 nm, r band, full aperture)
+        from imsim_tpu.catalog.bandpass import rubin_bandpass
+        from imsim_tpu.catalog.instcat import RUBIN_AREA
+        from imsim_tpu.catalog.sed import SED
+
+        sed0 = SED.from_flambda(w, np.ones_like(w)).normalized_magnorm0()
+        bp = rubin_bandpass("r")
+        rate0 = bp.photon_rate(sed0.wave, sed0.fphot, RUBIN_AREA, 30.0)
+        mag = -2.5 * np.log10(np.maximum(phot, 10.0) / rate0)
+        half = 0.68 / 2.0
+        ra = 30.0 + rng.uniform(-half, half, n_obj) / np.cos(
+            np.radians(-20.0))
+        dec = -20.0 + rng.uniform(-half, half, n_obj)
+        gal = rng.uniform(size=n_obj) < 0.7
+        for i in range(n_obj):
+            if gal[i]:
+                lines.append(
+                    f"object {i} {ra[i]:.6f} {dec[i]:.6f} {mag[i]:.3f} "
+                    "flatSED/sed_flat.txt 0 0 0 0 0 0 "
+                    "sersic2d 1.2 0.8 30.0 1.5 none CCM 0.02 3.1")
+            else:
+                lines.append(
+                    f"object {i} {ra[i]:.6f} {dec[i]:.6f} {mag[i]:.3f} "
+                    "flatSED/sed_flat.txt 0 0 0 0 0 0 point none none")
+        cat = os.path.join(work, "visit_cat.txt")
+        with open(cat, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        out = outdir or os.path.join(work, "out")
+        extra = [a for a in os.environ.get(
+            "BENCH_VISIT_OVERRIDES", "").split(";") if a]
+        overrides = extra + [
+            f"input.instance_catalog.file_name={cat}",
+            f"input.instance_catalog.sed_dir={os.path.join(work, 'seds')}",
+            "output.camera=LsstComCamSim",
+            "output.dir=" + out,
+            "output.det_num=" + os.environ.get("BENCH_VISIT_DETS", "[0,1,2,3,4,5,6,7,8]"),
+            "output.file_name=eimage_{det_name}.fits",
+            "output.readout.file_name=amp_{det_name}.fits",
+            "output.truth.file_name=centroid_{det_name}.txt",
+        ]
+
+        def one_pass():
+            t0 = time.time()
+            n_ccd = 0
+            for r in run_visit_iter({"template": "imsim-config-instcat"},
+                                    overrides=overrides):
+                n_ccd += 1
+            return time.time() - t0, n_ccd
+
+        cold, n_ccd = one_pass()
+        shutil.rmtree(out, ignore_errors=True)
+        warm, _ = one_pass()
+        result = {
+            "metric": "comcam_visit_production_wallclock",
+            "value": round(warm, 3),
+            "unit": "seconds/visit end-to-end, %d CCDs, %.1e obj, "
+                    "%.1e photons/CCD (catalog parse + prep + render + "
+                    "readout + RICE/FITS+truth IO; cold first pass "
+                    "incl. compiles %.1f s)"
+                    % (n_ccd, float(n_obj), n_photons_per_ccd, cold),
+            "vs_baseline": round(9 * 10.0 / warm, 3),
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     from imsim_tpu.electronics.camera import get_camera
     from imsim_tpu.image.ccd_render import _add_sky_and_noise
@@ -348,4 +457,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--visit" in sys.argv:
+        i = sys.argv.index("--visit")
+        nphot = float(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1.0e8
+        bench_visit(n_photons_per_ccd=nphot)
+    else:
+        main()

@@ -362,7 +362,7 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
     # ---- sky + noise ---------------------------------------------------------
     pieces = _sky_noise_pieces(ctx, prep)
     if pieces is not None:
-        sky_level, grad, vig = pieces
+        sky_level, grad, vig, vstep, fringe = pieces
         # image.noise {type: CCD, gain, read_noise}: eimage-level noise
         # surface (config/imsim-config.yaml:209-212; read noise defaults
         # to 0 there — the raw-file readout chain adds its own)
@@ -372,7 +372,8 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
             jnp.float32(sky_level), grad, jnp.asarray(vig, jnp.float32),
             pcfg.pixel_scale,
             read_noise=float(n_cfg.get("read_noise", 0.0)),
-            gain=float(n_cfg.get("gain", 1.0)))
+            gain=float(n_cfg.get("gain", 1.0)), vig_step=vstep,
+            fringe=None if fringe is None else jnp.asarray(fringe))
 
     # ---- cosmic rays (host, sparse) -------------------------------------------
     eimage = np.asarray(image)
@@ -670,8 +671,8 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
         # 17.8 deg exact vs 8.7 deg linear) — the kernel sweeps the
         # same signed -theta(t) arc the photon path applies
         ts = np.linspace(0.0, max(exptime, 1e-3), 24)
-        thetas = np.degrees(np.asarray(
-            field_rotation_angle(ts, RUBIN_LAT, alt, az)))
+        thetas = np.degrees(
+            field_rotation_angle(ts, RUBIN_LAT, alt, az, xp=np))
         # spider arms at 45 deg in the pupil, rotated by the telescope
         # rotator (reference: alpha = pi/4 - rottelpos)
         alpha_deg = 45.0 - float(ctx.opsim.get("rotTelPos", 0.0))
@@ -710,11 +711,19 @@ def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
                    ckpt=ckpt, exptime=exptime)
 
 
-def _sky_noise_pieces(ctx: VisitContext, prep: CcdPrep):
-    """(sky_level, gradient_abc, vignetting*fringing map) for the sky +
-    noise stage, or None when the sky level is zero.  Host-side map
+def _sky_noise_pieces(ctx: VisitContext, prep: CcdPrep,
+                      vig_step: int = 32):
+    """(sky_level, gradient_abc, vig_coarse, vig_step, fringe) for the
+    sky + noise stage, or None when the sky level is zero.  Host-side
     assembly shared by the serial and mesh paths (the sky/noise device
-    op itself is image/ccd_render._add_sky_and_noise)."""
+    op itself is image/ccd_render._add_sky_and_noise).
+
+    The vignetting map is returned as a stride-`vig_step` coarse grid
+    (utils.grid.coarse_shape) and bilinearly upsampled ON DEVICE inside
+    _add_sky_and_noise: the full-res host map cost ~18 s/CCD of numpy
+    (measured, round 4) and shipped 64 MB/CCD to the device.  fringe
+    (E2V only) stays full-res — the etalon pattern is not smooth at the
+    coarse scale."""
     if prep.sky_level <= 0:
         return None
     cfg = ctx.cfg
@@ -728,15 +737,18 @@ def _sky_noise_pieces(ctx: VisitContext, prep: CcdPrep):
         grad = (jnp.float32(sg.a / sg.sky_level_center),
                 jnp.float32(sg.b / sg.sky_level_center),
                 jnp.float32(sg.c / sg.sky_level_center))
-    vig = np.ones((ny, nx), np.float32)
+    from ..utils.grid import coarse_shape
+
+    gh, gw = coarse_shape((ny, nx), vig_step)
+    vig = np.ones((gh, gw), np.float32)
+    fringe = None
     if img_cfg.get("apply_vignetting", True):
-        yy = (np.arange(ny) - (ny - 1) / 2) * PIXEL_SIZE_MM \
+        ys = ((np.arange(gh) * vig_step) - (ny - 1) / 2) * PIXEL_SIZE_MM \
             + ccd.center_mm[1]
-        xx = (np.arange(nx) - (nx - 1) / 2) * PIXEL_SIZE_MM \
+        xs = ((np.arange(gw) * vig_step) - (nx - 1) / 2) * PIXEL_SIZE_MM \
             + ccd.center_mm[0]
-        vimg = ctx.vignetting.image_plane(
-            ccd.center_mm, (yy[:, None], xx[None, :]))
-        vig = np.asarray(vimg, np.float32)
+        vig = np.asarray(ctx.vignetting(
+            np.hypot(xs[None, :], ys[:, None])), np.float32)
     if img_cfg.get("apply_fringing", True) and ccd.vendor == "E2V":
         # per-CCD angular offset from the boresight drives the fringe
         # amplitude variation (imsim/sky_model.py:214-233 computes it
@@ -768,10 +780,10 @@ def _sky_noise_pieces(ctx: VisitContext, prep: CcdPrep):
 
         amp = fringing_amplitude(ctx.sky_model.sky_sed,
                                  ctx.bandpass)
-        vig = vig * np.asarray(fr.fringing_map(
+        fringe = np.asarray(fr.fringing_map(
             (ny, nx), amplitude=amp, skyline_surface=skyline),
             np.float32)
-    return prep.sky_level, grad, vig
+    return prep.sky_level, grad, vig, vig_step, fringe
 
 
 def _angular_sep(ra0, dec0, ra1, dec1):

@@ -49,10 +49,11 @@ def _render_batch(key, image, scene, obj_idx, weight, kolm_table,
 
 
 @partial(jax.jit, static_argnames=("pixel_scale", "exact_poisson",
-                                   "read_noise", "gain"))
+                                   "read_noise", "gain", "vig_step"))
 def _add_sky_and_noise(key, image, sky_per_arcsec2, gradient_abc,
                        vignet_img, pixel_scale, exact_poisson=False,
-                       read_noise=0.0, gain=1.0):
+                       read_noise=0.0, gain=1.0, vig_step=1,
+                       fringe=None):
     """Sky level (+ plane gradient + vignetting) with Poisson noise,
     mirroring imsim/lsst_image.py:128-200. Returns image in electrons.
 
@@ -65,8 +66,21 @@ def _add_sky_and_noise(key, image, sky_per_arcsec2, gradient_abc,
     shot noise from photon shooting, so only the sky is
     Poisson-sampled, plus an optional Gaussian read-noise floor of
     read_noise/gain electrons (the template default is read_noise 0 —
-    'applied later' in the raw-file readout chain)."""
+    'applied later' in the raw-file readout chain).
+
+    vig_step > 1: vignet_img is a coarse stride-vig_step grid
+    (utils.grid.coarse_shape) upsampled here ON DEVICE — the full-res
+    host map cost ~18 s/CCD of numpy and a 64 MB host->device upload.
+    fringe: optional full-res fringing surface multiplied in (E2V
+    CCDs); kept separate because it is NOT smooth at the coarse-grid
+    scale."""
     H, W = image.shape
+    if vig_step > 1:
+        from ..utils.grid import upsample_bilinear
+
+        vignet_img = upsample_bilinear(jnp, vignet_img, (H, W), vig_step)
+    if fringe is not None:
+        vignet_img = vignet_img * fringe
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
     a, b, c = gradient_abc

@@ -41,19 +41,26 @@ def calibrate_spike_profile(wavelength_nm: float = 622.0,
     Cached per (band wavelength, pixel scale)."""
     from ..photons.diffraction import apply_diffraction
 
-    key = jax.random.PRNGKey(seed)
-    k1, k2, k3 = jax.random.split(key, 3)
-    u1 = jax.random.uniform(k1, (n_phot,))
-    u2 = jax.random.uniform(k2, (n_phot,))
-    r = jnp.sqrt(0.612**2 * 4.18**2 + u1 * (1 - 0.612**2) * 4.18**2)
-    a = u2 * 2 * jnp.pi
-    pu, pv = r * jnp.cos(a), r * jnp.sin(a)
-    z = jnp.zeros((n_phot,))
-    du, dv = apply_diffraction(k3, pu, pv, z, z,
-                               jnp.full((n_phot,), wavelength_nm),
-                               enable_field_rotation=False)
+    @partial(jax.jit, static_argnames=("n",))
+    def _shot(key, wl, n):
+        # one fused dispatch + one pull: eager per-primitive dispatch
+        # here costs an RPC round trip per op on the tunnel
+        k1, k2, k3 = jax.random.split(key, 3)
+        u1 = jax.random.uniform(k1, (n,))
+        u2 = jax.random.uniform(k2, (n,))
+        r = jnp.sqrt(0.612**2 * 4.18**2 + u1 * (1 - 0.612**2) * 4.18**2)
+        a = u2 * 2 * jnp.pi
+        pu, pv = r * jnp.cos(a), r * jnp.sin(a)
+        z = jnp.zeros((n,))
+        du, dv = apply_diffraction(k3, pu, pv, z, z,
+                                   jnp.full((n,), wl),
+                                   enable_field_rotation=False)
+        return jnp.hypot(du, dv)
+
     arcsec = np.pi / 180 / 3600
-    kick_px = np.asarray(jnp.hypot(du, dv)) / arcsec / pixel_scale
+    kick_px = np.asarray(_shot(jax.random.PRNGKey(seed),
+                               jnp.float32(wavelength_nm), n_phot)) \
+        / arcsec / pixel_scale
     fraction = float((kick_px > r_min_px).mean())
     # tail histogram in log-spaced radial bins; weight by 1 (arm flux
     # per unit radius, not per unit area — spikes are 1-D structures)

@@ -78,12 +78,33 @@ class Vignetting:
         w = f - i
         return self._np_grid[i] * (1 - w) + self._np_grid[i + 1] * w
 
-    def image_plane(self, det_center_mm, pixel_grid_mm):
+    def image_plane(self, det_center_mm, pixel_grid_mm, step: int = 32):
         """Vignetting values for a full CCD: pixel_grid_mm = (Y_mm, X_mm)
-        focal-plane coordinate arrays (broadcastable)."""
+        focal-plane coordinate arrays (affine in pixel index, as all
+        callers build them from arange).
+
+        The profile is radially smooth at the CCD scale, so it is
+        evaluated on a stride-`step` coarse grid and bilinearly
+        upsampled (utils.grid): relative error is O((step*pix*f'')^2)
+        < 1e-5 at step=32 for the Rubin curve, while the host cost
+        drops from 16.7M float64 table lookups (~18 s/CCD measured) to
+        a few thousand.  step<=1 recovers the exact per-pixel path."""
         Y, X = pixel_grid_mm
-        r = np.hypot(X, Y)
-        return self(r)
+        Y = np.asarray(Y, np.float32).reshape(-1)
+        X = np.asarray(X, np.float32).reshape(-1)
+        ny, nx = len(Y), len(X)
+        if step <= 1 or ny < 3 or nx < 3:
+            r = np.hypot(X[None, :], Y[:, None])
+            return self(r).astype(np.float32)
+        from ..utils.grid import coarse_shape, upsample_bilinear
+
+        gh, gw = coarse_shape((ny, nx), step)
+        # affine extension beyond the CCD edge (one coarse sample)
+        dy, dx = Y[1] - Y[0], X[1] - X[0]
+        ys = Y[0] + dy * step * np.arange(gh, dtype=np.float64)
+        xs = X[0] + dx * step * np.arange(gw, dtype=np.float64)
+        g = self(np.hypot(xs[None, :], ys[:, None])).astype(np.float32)
+        return upsample_bilinear(np, g, (ny, nx), step)
 
     def at_sky_coord(self, r_mm):
         """Single-value lookup used to scale FFT-object fluxes

@@ -448,24 +448,35 @@ def run_visit_mesh(ctx, dets, mesh_cfg, logger=None):
                     next_outer=k + 1))
 
         # ---- sharded sky + noise -------------------------------------
+        from ..utils.grid import coarse_shape
+
+        vstep = 32
+        gh, gw = coarse_shape((H, W), vstep)
         levels = np.zeros(C, np.float32)
         grads = np.zeros((C, 3), np.float32)
         grads[:, 2] = 1.0
-        vigs = np.ones((C, H, W), np.float32)
+        vigs = np.ones((C, gh, gw), np.float32)
+        fringes = None
         for j, p in enumerate(preps[:n_live]):
-            pieces = R._sky_noise_pieces(ctx, p)
+            pieces = R._sky_noise_pieces(ctx, p, vig_step=vstep)
             if pieces is None:
                 continue
             levels[j], grad, vigs[j] = (pieces[0],
                                         pieces[1], pieces[2])
             grads[j] = [float(g) for g in grad]
+            if pieces[4] is not None:
+                if fringes is None:
+                    fringes = np.ones((C, H, W), np.float32)
+                fringes[j] = pieces[4]
         if np.any(levels > 0):
             sky_keys = np.stack([np.asarray(stream(ctx.seed, "sky",
                                                    p.det_num))
                                  for p in preps])
-            images = _sky_sharded(mesh, pcfg0.pixel_scale)(
+            images = _sky_sharded(mesh, pcfg0.pixel_scale, vstep,
+                                  with_fringe=fringes is not None)(
                 jnp.asarray(sky_keys), images, jnp.asarray(levels),
-                jnp.asarray(grads), jnp.asarray(vigs))
+                jnp.asarray(grads), jnp.asarray(vigs),
+                *(() if fringes is None else (jnp.asarray(fringes),)))
 
         # ---- host: cosmic rays ---------------------------------------
         eimages = np.array(images)  # writable host copy
@@ -498,20 +509,25 @@ def run_visit_mesh(ctx, dets, mesh_cfg, logger=None):
     return results
 
 
-def _sky_sharded(mesh: Mesh, pixel_scale: float):
+def _sky_sharded(mesh: Mesh, pixel_scale: float, vig_step: int = 1,
+                 with_fringe: bool = False):
     """jit(vmap(_add_sky_and_noise)) with P('ccd') shardings: the sky +
     gradient + vignetting/fringing + Poisson stage runs one program for
-    the whole block, partitioned over the mesh."""
+    the whole block, partitioned over the mesh.  Vignetting rides as a
+    stride-vig_step coarse grid (128 KB/CCD instead of 64 MB/CCD in the
+    stacked block) and upsamples inside the sharded program."""
     from ..image.ccd_render import _add_sky_and_noise
 
-    def one(key, image, level, grad, vig):
+    def one(key, image, level, grad, vig, fringe=None):
         return _add_sky_and_noise(key, image, level,
                                   (grad[0], grad[1], grad[2]), vig,
-                                  pixel_scale)
+                                  pixel_scale, vig_step=vig_step,
+                                  fringe=fringe)
 
     sh = NamedSharding(mesh, P("ccd"))
+    n_in = 6 if with_fringe else 5
     return jax.jit(jax.vmap(one),
-                   in_shardings=(sh, sh, sh, sh, sh),
+                   in_shardings=(sh,) * n_in,
                    out_shardings=sh)
 
 

@@ -68,29 +68,33 @@ def nearest_edge(px, py, lines=None, circles=None):
     return dist, nx, ny
 
 
-def field_rotation_angle(t, latitude, altitude, azimuth):
+def field_rotation_angle(t, latitude, altitude, azimuth, xp=jnp):
     """Field rotation angle theta(t) for an alt-az telescope: the rotation
     of the parallactic frame over time t [sec] from exposure start
     (imsim/diffraction.py:279-384 computes the same via e_z cross
-    products; here in closed form via the rotation rate integral)."""
+    products; here in closed form via the rotation rate integral).
+
+    xp: jnp (device photon chain) or np — host callers (prepare_ccd's
+    24-sample spike-sweep curve) pass np to avoid eager device
+    dispatches, which cost an RPC round trip each on the tunnel."""
     # e_focal in equatorial frame at t=0
-    e_z0 = jnp.array([np.cos(latitude), 0.0, np.sin(latitude)])
-    e_east = jnp.array([0.0, 1.0, 0.0])
-    e_north = jnp.array([-np.sin(latitude), 0.0, np.cos(latitude)])
-    e_focal = (e_east * jnp.cos(altitude) * jnp.sin(azimuth)
-               + e_north * jnp.cos(altitude) * jnp.cos(azimuth)
-               + e_z0 * jnp.sin(altitude))
+    e_z0 = xp.array([np.cos(latitude), 0.0, np.sin(latitude)])
+    e_east = xp.array([0.0, 1.0, 0.0])
+    e_north = xp.array([-np.sin(latitude), 0.0, np.cos(latitude)])
+    e_focal = (e_east * xp.cos(altitude) * xp.sin(azimuth)
+               + e_north * xp.cos(altitude) * xp.cos(azimuth)
+               + e_z0 * xp.sin(altitude))
     # zenith direction at time t
     wt = OMEGA_EARTH * t
-    e_zt = jnp.stack([jnp.cos(wt) * np.cos(latitude),
-                      jnp.sin(wt) * np.cos(latitude),
-                      jnp.full_like(t, np.sin(latitude))], axis=-1)
-    e_h0 = jnp.cross(jnp.broadcast_to(e_focal, e_zt.shape), e_z0[None])
-    e_ht = jnp.cross(jnp.broadcast_to(e_focal, e_zt.shape), e_zt)
-    nrm = (jnp.linalg.norm(e_ht, axis=-1) * jnp.linalg.norm(e_h0, axis=-1))
-    cos_t = jnp.sum(e_ht * e_h0, axis=-1) / nrm
-    sin_t = jnp.sum(e_zt * e_h0, axis=-1) / nrm
-    return jnp.arctan2(sin_t, cos_t)
+    e_zt = xp.stack([xp.cos(wt) * np.cos(latitude),
+                     xp.sin(wt) * np.cos(latitude),
+                     xp.full_like(t, np.sin(latitude))], axis=-1)
+    e_h0 = xp.cross(xp.broadcast_to(e_focal, e_zt.shape), e_z0[None])
+    e_ht = xp.cross(xp.broadcast_to(e_focal, e_zt.shape), e_zt)
+    nrm = (xp.linalg.norm(e_ht, axis=-1) * xp.linalg.norm(e_h0, axis=-1))
+    cos_t = xp.sum(e_ht * e_h0, axis=-1) / nrm
+    sin_t = xp.sum(e_zt * e_h0, axis=-1) / nrm
+    return xp.arctan2(sin_t, cos_t)
 
 
 def field_rotation_rate(latitude, altitude, azimuth):
