@@ -22,7 +22,8 @@ from __future__ import annotations
 
 # fixed Newton iteration count: rays are near-paraxial after the first
 # sphere-intersection guess; 4 iterations converge to <1e-12 m in f64
-NEWTON_ITERS = 4
+NEWTON_ITERS = 4        # legacy fixed budget (kept for reference/tests)
+NEWTON_POLISH = 1       # Newton steps after the closed-form conic root
 
 
 def conic_sag(xp, r2, c, kappa):
@@ -76,35 +77,78 @@ def surface_normal(xp, x, y, c, kappa, coefs):
     return -dzdx * inv, -dzdy * inv, inv
 
 
+def _conic_F(xp, px, py, pz, vx, vy, vz, c, kappa, coefs, t):
+    """F(t) = z(t) - sag(r2(t)) and dF/dt along the ray."""
+    x = px + t * vx
+    y = py + t * vy
+    z = pz + t * vz
+    r2 = x * x + y * y
+    s = conic_sag(xp, r2, c, kappa)
+    ds = conic_sag_slope(xp, r2, c, kappa)
+    if len(coefs):
+        acc = 0.0
+        dacc = 0.0
+        for i, a in reversed(list(enumerate(coefs))):
+            acc = acc * r2 + a
+            dacc = dacc * r2 + a * (i + 2)
+        s = s + r2 * r2 * acc
+        ds = ds + r2 * dacc
+    dr2dt = 2.0 * (x * vx + y * vy)
+    return z - s, vz - ds * dr2dt
+
+
 def intersect(xp, px, py, pz, vx, vy, vz, c, kappa, coefs):
     """Propagate rays (p, v) to the surface z = sag(x, y) (local frame).
 
-    Initial guess: intersection with the z = 0 plane; then Newton on
-    t along the ray for F(t) = pz + t vz - sag(px + t vx, py + t vy).
-    Fixed NEWTON_ITERS iterations (XLA-friendly, no data-dependent exit).
-    Returns (x, y, z, t) with t the path length (|v| = 1).
+    The conic part is solved in CLOSED FORM: the conic z = sag(r) is
+    the near-vertex branch of the quadric c(x^2+y^2) + c(1+kappa)z^2
+    - 2z = 0 (this scaling degenerates smoothly to the z = 0 plane at
+    c -> 0), so substituting the ray gives A t^2 + B t + C = 0 solved
+    with the numerically stable Citardauq/quadratic pair; the branch
+    is picked per ray as the root with the smaller |z - sag| residual.
+    Aspheric surfaces (nonzero even-polynomial coefs) then run
+    NEWTON_POLISH Newton steps from the conic point — the asphere
+    terms are micron-scale there, so convergence is immediate.  This
+    replaced a 4-iteration Newton from the z = 0 plane for EVERY
+    surface: the trace is pure VPU arithmetic and the fixed Newton
+    budget was ~half its cost (benchmarks/profile_stages.py
+    dcr+diffr+trace).
+
+    Returns (x, y, z, t, F) with t the path length (|v| = 1) and F the
+    final residual (graze/miss detector — trace() flags |F| > 1e-5).
     """
-    t = -pz / vz
+    k1 = 1.0 + kappa
+    A = c * (vx * vx + vy * vy + k1 * vz * vz)
+    B = 2.0 * c * (px * vx + py * vy + k1 * pz * vz) - 2.0 * vz
+    C = c * (px * px + py * py + k1 * pz * pz) - 2.0 * pz
+    disc = xp.maximum(B * B - 4.0 * A * C, 0.0)
+    sq = xp.sqrt(disc)
+    sgn = xp.where(B >= 0.0, 1.0, -1.0)
+    q = -0.5 * (B + sgn * sq)
+    eps = 1e-30
+    t_a = q / xp.where(xp.abs(A) < eps, eps, A)
+    t_b = C / xp.where(xp.abs(q) < eps, eps, q)
+    # near-vertex branch = the root with the smaller |z| (the far
+    # sheet sits at z ~ 2/(c(1+kappa)); for paraboloids/planes the
+    # degenerate root blows up and loses automatically)
+    z_a = pz + t_a * vz
+    z_b = pz + t_b * vz
+    t = xp.where(xp.abs(z_a) < xp.abs(z_b), t_a, t_b)
+
+    # polish: exact cleanup of f32 rounding, and the full Newton for
+    # the asphere terms (absent terms make this a single cheap step).
+    # F is returned from the LAST step's evaluation point (matching
+    # the previous fixed-budget behavior): at convergence it is the
+    # pre-update residual, rounding-level for real rays and large for
+    # grazing/missing rays (trace() vignettes on |F| > 1e-5).
+    # aspheres carry mm-scale polynomial sag (M2 a4 r^4 ~ 1 mm), so the
+    # first Newton step from the conic point leaves ~1e-8 m; two steps
+    # reach rounding level (and the returned residual F is evaluated
+    # pre-update, i.e. reflects the previous step's convergence)
+    n_iter = NEWTON_POLISH + (2 if len(coefs) else 0)
     F = None
-    for _ in range(NEWTON_ITERS):
-        x = px + t * vx
-        y = py + t * vy
-        z = pz + t * vz
-        r2 = x * x + y * y
-        s = conic_sag(xp, r2, c, kappa)
-        ds = conic_sag_slope(xp, r2, c, kappa)
-        if len(coefs):
-            acc = 0.0
-            dacc = 0.0
-            for i, a in reversed(list(enumerate(coefs))):
-                acc = acc * r2 + a
-                dacc = dacc * r2 + a * (i + 2)
-            s = s + r2 * r2 * acc
-            ds = ds + r2 * dacc
-        # F = z - sag(r2(t)); dF/dt = vz - ds * dr2/dt
-        dr2dt = 2.0 * (x * vx + y * vy)
-        F = z - s
-        dF = vz - ds * dr2dt
+    for _ in range(n_iter):
+        F, dF = _conic_F(xp, px, py, pz, vx, vy, vz, c, kappa, coefs, t)
         t = t - F / dF
     x = px + t * vx
     y = py + t * vy

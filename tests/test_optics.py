@@ -45,6 +45,40 @@ def test_trace_focus_and_scale():
     assert abs(efl - 10.31) < 0.02
 
 
+def test_intersect_closed_form_residuals():
+    """The closed-form conic root (+ Newton polish) lands ON each
+    surface: |z - sag(r)| residual at sub-nm (f64) for every surface
+    of the real prescription — mirrors (strong conics + aspheres),
+    lenses, flat filters and the detector — across the full aperture.
+    Guards the quadratic-branch selection (near-vertex vs far sheet)."""
+    from imsim_tpu.optics.geometry import intersect
+
+    tel = load_telescope(band="r").fiducial
+    rng = np.random.default_rng(3)
+    n = 4000
+    a = rng.uniform(0, 2 * np.pi, n)
+    # rays inside each surface's REAL clear aperture, with beam-scale
+    # convergence angles; outside the aperture rays are vignetted by
+    # trace() and their intersection is never consumed
+    for i in range(len(tel.kinds)):
+        c = float(np.asarray(tel.c)[i])
+        k = float(np.asarray(tel.kappa)[i])
+        coefs = [float(v) for v in np.asarray(tel.coefs)[i]]
+        r_in, r_out = [float(v) for v in np.asarray(tel.aper)[i]]
+        r = np.sqrt(rng.uniform(r_in**2, (0.98 * r_out)**2, n))
+        px, py = r * np.cos(a), r * np.sin(a)
+        vx = rng.uniform(-0.25, 0.25, n)
+        vy = rng.uniform(-0.25, 0.25, n)
+        vz = -np.sqrt(1.0 - np.clip(vx**2 + vy**2, 0, 0.9))
+        x, y, z, t, F = intersect(np, px, py,
+                                  np.full(n, 1.0), vx, vy, vz, c, k,
+                                  coefs if any(coefs) else [])
+        # mm-scale asphere sag (M2's a4 r^4 ~ 1 mm at full aperture)
+        # leaves ~6 nm after the single polish step — 3 orders below
+        # the 10 um spot scale and the f32 arithmetic noise
+        assert np.abs(F).max() < 2e-8, (i, np.abs(F).max())
+
+
 def test_trace_f32_matches_f64():
     tel = load_telescope(band="r").fiducial
     pu, pv = _pupil(200)
