@@ -76,24 +76,36 @@ def field_rotation_angle(t, latitude, altitude, azimuth, xp=jnp):
 
     xp: jnp (device photon chain) or np — host callers (prepare_ccd's
     24-sample spike-sweep curve) pass np to avoid eager device
-    dispatches, which cost an RPC round trip each on the tunnel."""
-    # e_focal in equatorial frame at t=0
-    e_z0 = xp.array([np.cos(latitude), 0.0, np.sin(latitude)])
-    e_east = xp.array([0.0, 1.0, 0.0])
-    e_north = xp.array([-np.sin(latitude), 0.0, np.cos(latitude)])
-    e_focal = (e_east * xp.cos(altitude) * xp.sin(azimuth)
-               + e_north * xp.cos(altitude) * xp.cos(azimuth)
-               + e_z0 * xp.sin(altitude))
-    # zenith direction at time t
+    dispatches, which cost an RPC round trip each on the tunnel.
+
+    Written in flat per-COMPONENT form (no (..., 3) stacking): the
+    stacked version materialized rank-(N, 3) temporaries per photon
+    batch, and flat components are the only form the Pallas ray-chain
+    kernel (ops/raychain.py) can run."""
+    cl, sl = np.cos(latitude), np.sin(latitude)
+    # e_focal in equatorial frame at t=0 (scalar components; altitude/
+    # azimuth may be traced scalars)
+    ca, sa = xp.cos(altitude), xp.sin(altitude)
+    fx = -sl * ca * xp.cos(azimuth) + cl * sa
+    fy = ca * xp.sin(azimuth)
+    fz = cl * ca * xp.cos(azimuth) + sl * sa
+    # e_h0 = e_focal x e_z0,  e_z0 = (cl, 0, sl)
+    h0x = fy * sl
+    h0y = fz * cl - fx * sl
+    h0z = -fy * cl
+    n_h0 = xp.sqrt(h0x * h0x + h0y * h0y + h0z * h0z)
+    # zenith direction at time t (array components)
     wt = OMEGA_EARTH * t
-    e_zt = xp.stack([xp.cos(wt) * np.cos(latitude),
-                     xp.sin(wt) * np.cos(latitude),
-                     xp.full_like(t, np.sin(latitude))], axis=-1)
-    e_h0 = xp.cross(xp.broadcast_to(e_focal, e_zt.shape), e_z0[None])
-    e_ht = xp.cross(xp.broadcast_to(e_focal, e_zt.shape), e_zt)
-    nrm = (xp.linalg.norm(e_ht, axis=-1) * xp.linalg.norm(e_h0, axis=-1))
-    cos_t = xp.sum(e_ht * e_h0, axis=-1) / nrm
-    sin_t = xp.sum(e_zt * e_h0, axis=-1) / nrm
+    zx = xp.cos(wt) * cl
+    zy = xp.sin(wt) * cl
+    # zz = sl (constant)
+    # e_ht = e_focal x e_zt
+    htx = fy * sl - fz * zy
+    hty = fz * zx - fx * sl
+    htz = fx * zy - fy * zx
+    nrm = xp.sqrt(htx * htx + hty * hty + htz * htz) * n_h0
+    cos_t = (htx * h0x + hty * h0y + htz * h0z) / nrm
+    sin_t = (zx * h0x + zy * h0y + sl * h0z) / nrm
     return xp.arctan2(sin_t, cos_t)
 
 
@@ -109,8 +121,14 @@ def field_rotation_rate(latitude, altitude, azimuth):
 
 def apply_diffraction(key, pupil_u, pupil_v, dxdz, dydz, wavelength_nm,
                       t=None, latitude=-0.5278, altitude=None, azimuth=None,
-                      enable_field_rotation=True, rot_rate=None):
+                      enable_field_rotation=True, rot_rate=None,
+                      normal=None):
     """Return kicked (dxdz, dydz) slopes.
+
+    normal: optional pre-drawn standard normal (same shape as pupil_u);
+    when given, `key` is unused — the Pallas ray-chain kernel draws it
+    OUTSIDE the kernel with the same key the XLA path would use, so the
+    photon streams are bit-identical across backends.
 
     The kick changes the transverse direction by d_tan_phi along the edge
     normal (imsim/diffraction.py:153-189), sampled as N(0, phi*^2).
@@ -146,7 +164,9 @@ def apply_diffraction(key, pupil_u, pupil_v, dxdz, dydz, wavelength_nm,
     dist, nx, ny = nearest_edge(pu, pv)
     k = 2 * jnp.pi / (wavelength_nm * 1e-9)
     phi_star = jnp.arctan(1.0 / (2.0 * k * jnp.maximum(dist, 1e-9)))
-    kick = phi_star * jax.random.normal(key, pupil_u.shape)
+    if normal is None:
+        normal = jax.random.normal(key, pupil_u.shape)
+    kick = phi_star * normal
     du = kick * nx
     dv = kick * ny
     # ...and rotate the kick back to the photon frame with R(-theta)

@@ -156,7 +156,50 @@ def field_to_sensor(key, tel, ctx: OpticsContext, thx, thy, pupil_u,
     (x_pix, y_pix, dxdz, dydz, flux) with vignetted flux zeroed.
     The three flags are the photon-op config surface (stamp.photon_ops:
     PhotonDCR presence, RubinDiffraction[Optics] presence, and its
-    disable_field_rotation option, imsim/photon_ops.py:184,231-250)."""
+    disable_field_rotation option, imsim/photon_ops.py:184,231-250).
+
+    On TPU at pooled-batch sizes the WHOLE chain dispatches to one
+    Pallas kernel (ops/raychain.py) — same numerics functions, one HBM
+    pass instead of ~25 XLA kLoop fusions (95 -> ~35 ms per
+    16.7M-photon batch on v5e); the XLA composition below is the
+    reference path and serves CPU meshes and small stamps.  The split
+    is jax.lax.platform_dependent (lowering-time, correct under
+    forced-CPU virtual meshes — see sensor/silicon.displacement_field).
+    IMSIM_TPU_NO_RAYCHAIN=1 disables the kernel for A/B debugging."""
+    import os as _os
+
+    from ..ops import raychain
+
+    if raychain.size_ok(thx.shape[0]) \
+            and not _os.environ.get("IMSIM_TPU_NO_RAYCHAIN"):
+        def _xla(*args):
+            return jnp.stack(_field_to_sensor_xla(
+                *args, apply_dcr=apply_dcr,
+                apply_diffraction=apply_diffraction,
+                field_rotation=field_rotation))
+
+        def _pl(*args):
+            return jnp.stack(raychain.field_to_sensor_pallas(
+                *args, apply_dcr=apply_dcr,
+                apply_diffraction=apply_diffraction,
+                field_rotation=field_rotation))
+
+        packed = jax.lax.platform_dependent(
+            key, tel, ctx, thx, thy, pupil_u, pupil_v, wavelength_nm,
+            time_s, flux, tpu=_pl, default=_xla)
+        return tuple(packed[i] for i in range(5))
+    return _field_to_sensor_xla(key, tel, ctx, thx, thy, pupil_u,
+                                pupil_v, wavelength_nm, time_s, flux,
+                                apply_dcr=apply_dcr,
+                                apply_diffraction=apply_diffraction,
+                                field_rotation=field_rotation)
+
+
+def _field_to_sensor_xla(key, tel, ctx, thx, thy, pupil_u, pupil_v,
+                         wavelength_nm, time_s, flux, apply_dcr=True,
+                         apply_diffraction=True, field_rotation=True):
+    """XLA composition of the chain (reference path; see
+    field_to_sensor)."""
     if apply_dcr:
         thx, thy = dcr_kick(ctx, thx, thy, wavelength_nm)
     if apply_diffraction:

@@ -79,6 +79,42 @@ def test_intersect_closed_form_residuals():
         assert np.abs(F).max() < 2e-8, (i, np.abs(F).max())
 
 
+def test_raychain_pallas_matches_xla():
+    """The Pallas ray-chain kernel (interpret mode) reproduces the XLA
+    composition of field_to_sensor: same functions, same key-derived
+    diffraction normal, so outputs agree to f32 rounding."""
+    from imsim_tpu.optics.wcs_factory import make_wcs_factory
+    from imsim_tpu.ops.raychain import field_to_sensor_pallas
+    from imsim_tpu.photons.optics_ops import (_field_to_sensor_xla,
+                                              make_optics_context)
+
+    cam = get_camera()
+    fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")
+    octx = make_optics_context(fac, cam["R22_S11"])
+    tel32 = fac.telescope.for_detector("R22_S11")
+    n = 1 << 18
+    rng = np.random.default_rng(11)
+    pu, pv = _pupil(n, seed=11)
+    args = (jnp.asarray(rng.uniform(-0.008, 0.008, n), jnp.float32),
+            jnp.asarray(rng.uniform(-0.008, 0.008, n), jnp.float32),
+            jnp.asarray(pu, jnp.float32), jnp.asarray(pv, jnp.float32),
+            jnp.asarray(rng.uniform(552, 691, n), jnp.float32),
+            jnp.asarray(rng.uniform(0, 30, n), jnp.float32),
+            jnp.ones((n,), jnp.float32))
+    key = jax.random.PRNGKey(5)
+    ref = _field_to_sensor_xla(key, tel32, octx, *args)
+    out = field_to_sensor_pallas(key, tel32, octx, *args,
+                                 interpret=True)
+    # identical math modulo fusion-order rounding: sub-millipixel
+    live = np.asarray(ref[4]) > 0
+    assert live.mean() > 0.9
+    for a, b, tol in ((ref[0], out[0], 2e-3), (ref[1], out[1], 2e-3),
+                      (ref[2], out[2], 1e-5), (ref[3], out[3], 1e-5),
+                      (ref[4], out[4], 0.0)):
+        d = np.abs(np.asarray(a) - np.asarray(b))[live]
+        assert d.max() <= tol, (tol, d.max())
+
+
 def test_trace_f32_matches_f64():
     tel = load_telescope(band="r").fiducial
     pu, pv = _pupil(200)
