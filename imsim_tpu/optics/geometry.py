@@ -103,37 +103,42 @@ def intersect(xp, px, py, pz, vx, vy, vz, c, kappa, coefs):
     The conic part is solved in CLOSED FORM: the conic z = sag(r) is
     the near-vertex branch of the quadric c(x^2+y^2) + c(1+kappa)z^2
     - 2z = 0 (this scaling degenerates smoothly to the z = 0 plane at
-    c -> 0), so substituting the ray gives A t^2 + B t + C = 0 solved
-    with the numerically stable Citardauq/quadratic pair; the branch
-    is picked per ray as the root with the smaller |z - sag| residual.
-    Aspheric surfaces (nonzero even-polynomial coefs) then run
-    NEWTON_POLISH Newton steps from the conic point — the asphere
-    terms are micron-scale there, so convergence is immediate.  This
-    replaced a 4-iteration Newton from the z = 0 plane for EVERY
-    surface: the trace is pure VPU arithmetic and the fixed Newton
-    budget was ~half its cost (benchmarks/profile_stages.py
-    dcr+diffr+trace).
+    c -> 0).  The quadratic is ANCHORED at the ray's z = 0 plane hit
+    (t0 = -pz/vz): there C = c*r0^2 (<~ 1) and B ~ -2vz, so the near
+    root s ~ sag-scale while the far sheet sits tens of meters away —
+    picking the smaller |s| is branch-stable even in f32, and the
+    meter-scale cancellations of the raw (p, v) quadratic (which cost
+    ~0.2 px of f32 noise and could flip branches on grazing rays)
+    never enter.  Citardauq/quadratic stable-root pair as usual.
+    Aspheric surfaces (nonzero even-polynomial coefs) then run extra
+    Newton steps from the conic point — the asphere terms are mm-scale
+    there, so convergence is immediate.  This replaced a 4-iteration
+    Newton from the z = 0 plane for EVERY surface: the trace is pure
+    VPU arithmetic and the fixed Newton budget was ~half its cost
+    (benchmarks/profile_stages.py dcr+diffr+trace).
 
     Returns (x, y, z, t, F) with t the path length (|v| = 1) and F the
     final residual (graze/miss detector — trace() flags |F| > 1e-5).
     """
     k1 = 1.0 + kappa
+    t0 = -pz / vz
+    x0 = px + t0 * vx
+    y0 = py + t0 * vy
     A = c * (vx * vx + vy * vy + k1 * vz * vz)
-    B = 2.0 * c * (px * vx + py * vy + k1 * pz * vz) - 2.0 * vz
-    C = c * (px * px + py * py + k1 * pz * pz) - 2.0 * pz
+    B = 2.0 * c * (x0 * vx + y0 * vy) - 2.0 * vz
+    C = c * (x0 * x0 + y0 * y0)
     disc = xp.maximum(B * B - 4.0 * A * C, 0.0)
     sq = xp.sqrt(disc)
     sgn = xp.where(B >= 0.0, 1.0, -1.0)
     q = -0.5 * (B + sgn * sq)
     eps = 1e-30
-    t_a = q / xp.where(xp.abs(A) < eps, eps, A)
-    t_b = C / xp.where(xp.abs(q) < eps, eps, q)
-    # near-vertex branch = the root with the smaller |z| (the far
-    # sheet sits at z ~ 2/(c(1+kappa)); for paraboloids/planes the
-    # degenerate root blows up and loses automatically)
-    z_a = pz + t_a * vz
-    z_b = pz + t_b * vz
-    t = xp.where(xp.abs(z_a) < xp.abs(z_b), t_a, t_b)
+    s_a = q / xp.where(xp.abs(A) < eps, eps, A)
+    s_b = C / xp.where(xp.abs(q) < eps, eps, q)
+    # near-vertex branch = the root nearer the plane point (the far
+    # sheet sits at z ~ 2/(c(1+kappa)), |s| ~ tens of meters; for
+    # paraboloids/planes the degenerate root blows up and loses
+    # automatically)
+    t = t0 + xp.where(xp.abs(s_a) < xp.abs(s_b), s_a, s_b)
 
     # polish: exact cleanup of f32 rounding, and the full Newton for
     # the asphere terms (absent terms make this a single cheap step).

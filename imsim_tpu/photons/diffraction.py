@@ -68,11 +68,15 @@ def nearest_edge(px, py, lines=None, circles=None):
     return dist, nx, ny
 
 
-def field_rotation_angle(t, latitude, altitude, azimuth, xp=jnp):
-    """Field rotation angle theta(t) for an alt-az telescope: the rotation
-    of the parallactic frame over time t [sec] from exposure start
-    (imsim/diffraction.py:279-384 computes the same via e_z cross
-    products; here in closed form via the rotation rate integral).
+def field_rotation_sincos(t, latitude, altitude, azimuth, xp=jnp):
+    """(sin, cos) of the field rotation angle theta(t) for an alt-az
+    telescope: the rotation of the parallactic frame over time t [sec]
+    from exposure start (imsim/diffraction.py:279-384 computes the same
+    via e_z cross products; here in closed form).
+
+    Returned as a sin/cos PAIR (normalized): the photon chain only ever
+    rotates by theta, and Mosaic has no atan2 lowering — the Pallas
+    ray-chain kernel (ops/raychain.py) consumes this form directly.
 
     xp: jnp (device photon chain) or np — host callers (prepare_ccd's
     24-sample spike-sweep curve) pass np to avoid eager device
@@ -81,7 +85,7 @@ def field_rotation_angle(t, latitude, altitude, azimuth, xp=jnp):
     Written in flat per-COMPONENT form (no (..., 3) stacking): the
     stacked version materialized rank-(N, 3) temporaries per photon
     batch, and flat components are the only form the Pallas ray-chain
-    kernel (ops/raychain.py) can run."""
+    kernel can run."""
     cl, sl = np.cos(latitude), np.sin(latitude)
     # e_focal in equatorial frame at t=0 (scalar components; altitude/
     # azimuth may be traced scalars)
@@ -106,7 +110,18 @@ def field_rotation_angle(t, latitude, altitude, azimuth, xp=jnp):
     nrm = xp.sqrt(htx * htx + hty * hty + htz * htz) * n_h0
     cos_t = (htx * h0x + hty * h0y + htz * h0z) / nrm
     sin_t = (zx * h0x + zy * h0y + sl * h0z) / nrm
-    return xp.arctan2(sin_t, cos_t)
+    # sin_t's projection plane is not exactly the h0/ht plane (the
+    # zenith sweeps relative to e_focal), so renormalize the pair
+    r = 1.0 / xp.sqrt(sin_t * sin_t + cos_t * cos_t)
+    return sin_t * r, cos_t * r
+
+
+def field_rotation_angle(t, latitude, altitude, azimuth, xp=jnp):
+    """Field rotation angle theta(t) [rad] — atan2 wrapper over
+    field_rotation_sincos for host/analysis callers (NOT used inside
+    the Pallas kernel: Mosaic has no atan2)."""
+    s, c = field_rotation_sincos(t, latitude, altitude, azimuth, xp=xp)
+    return xp.arctan2(s, c)
 
 
 def field_rotation_rate(latitude, altitude, azimuth):
@@ -147,13 +162,13 @@ def apply_diffraction(key, pupil_u, pupil_v, dxdz, dydz, wavelength_nm,
     if enable_field_rotation and t is not None and \
             (altitude is not None or rot_rate is not None):
         if rot_rate is None:
-            theta = field_rotation_angle(jnp.asarray(t), latitude,
+            s, c = field_rotation_sincos(jnp.asarray(t), latitude,
                                          altitude, azimuth)
         else:
             theta = rot_rate * t
+            c, s = jnp.cos(theta), jnp.sin(theta)
         # spider at -theta(t) in the photon frame: rotate the photon's
         # pupil coords INTO the spider frame with R(+theta)...
-        c, s = jnp.cos(theta), jnp.sin(theta)
         pu = c * pupil_u - s * pupil_v
         pv = s * pupil_u + c * pupil_v
     else:

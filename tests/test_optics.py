@@ -105,13 +105,25 @@ def test_raychain_pallas_matches_xla():
     ref = _field_to_sensor_xla(key, tel32, octx, *args)
     out = field_to_sensor_pallas(key, tel32, octx, *args,
                                  interpret=True)
-    # identical math modulo fusion-order rounding: sub-millipixel
-    live = np.asarray(ref[4]) > 0
-    assert live.mean() > 0.9
-    for a, b, tol in ((ref[0], out[0], 2e-3), (ref[1], out[1], 2e-3),
-                      (ref[2], out[2], 1e-5), (ref[3], out[3], 1e-5),
-                      (ref[4], out[4], 0.0)):
-        d = np.abs(np.asarray(a) - np.asarray(b))[live]
+    # Same functions, but compiled-XLA fusion (fma contraction, op
+    # reordering) vs the kernel's op-by-op evaluation differ at f32
+    # rounding, and 1 ULP at the ~10 m ray scale is ~1 um = 0.1 px —
+    # the same floor test_trace_f32_matches_f64 allows against f64.
+    # Rays landing far off the detector amplify that noise
+    # geometrically (and are cropped by accumulate), so the pixel
+    # comparison is over on/near-detector rays.
+    rl = np.asarray(ref[4]) > 0
+    ol = np.asarray(out[4]) > 0
+    assert rl.mean() > 0.9
+    # vignette decisions agree except borderline-grazing rays
+    assert (rl != ol).mean() < 5e-4, (rl != ol).mean()
+    x, y = np.asarray(ref[0]), np.asarray(ref[1])
+    on = rl & ol & (x > -64) & (x < 4160) & (y > -64) & (y < 4160)
+    assert on.sum() > 1000
+    # slope noise 5e-4 over the ~100 um silicon depth is < 0.005 px
+    for a, b, tol in ((ref[0], out[0], 0.35), (ref[1], out[1], 0.35),
+                      (ref[2], out[2], 5e-4), (ref[3], out[3], 5e-4)):
+        d = np.abs(np.asarray(a) - np.asarray(b))[on]
         assert d.max() <= tol, (tol, d.max())
 
 
