@@ -134,6 +134,30 @@ def field_rotation_rate(latitude, altitude, azimuth):
             / jnp.maximum(jnp.cos(altitude), 1e-6))
 
 
+# atan(z)/z as a polynomial in z^2 on z in [0, 1] (Chebyshev LSQ fit,
+# degree 8: max |error| 4.7e-8 rad in f64, 1.5e-7 in the f32 kernel —
+# far below photon shot noise on the kick angle).  Mosaic has no atan
+# lowering, so the Pallas ray-chain kernel needs this closed form.
+_ATAN_COEF = (0.9999999880828048, -0.33333120781002346, 0.19993716142684706,
+              -0.14213196196924144, 0.10681421032869046, -0.0759680986713322,
+              0.043855599054352386, -0.016827448528019175,
+              0.0030499680693706565)
+
+
+def _atan_pos(x):
+    """atan(x) for x > 0, in Mosaic-lowerable ops only (mul/add/div/
+    select): range-reduce with atan(x) = pi/2 - atan(1/x), then an
+    odd polynomial on [0, 1]."""
+    big = x > 1.0
+    z = jnp.where(big, 1.0 / x, x)
+    t = z * z
+    acc = jnp.full_like(z, _ATAN_COEF[-1])
+    for c in _ATAN_COEF[-2::-1]:
+        acc = acc * t + c
+    r = z * acc
+    return jnp.where(big, jnp.float32(np.pi / 2) - r, r)
+
+
 def apply_diffraction(key, pupil_u, pupil_v, dxdz, dydz, wavelength_nm,
                       t=None, latitude=-0.5278, altitude=None, azimuth=None,
                       enable_field_rotation=True, rot_rate=None,
@@ -178,7 +202,7 @@ def apply_diffraction(key, pupil_u, pupil_v, dxdz, dydz, wavelength_nm,
 
     dist, nx, ny = nearest_edge(pu, pv)
     k = 2 * jnp.pi / (wavelength_nm * 1e-9)
-    phi_star = jnp.arctan(1.0 / (2.0 * k * jnp.maximum(dist, 1e-9)))
+    phi_star = _atan_pos(1.0 / (2.0 * k * jnp.maximum(dist, 1e-9)))
     if normal is None:
         normal = jax.random.normal(key, pupil_u.shape)
     kick = phi_star * normal
