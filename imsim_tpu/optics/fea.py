@@ -3,13 +3,17 @@ imsim/telescope_loader.py:26-118 (batoid_rubin ``LSSTBuilder.with_*``).
 
 The reference drives measured finite-element data shipped with
 batoid_rubin (gravity print-through, thermal figure modes, actuator
-lookup tables, 20+20 bending modes).  Those data files are not
-available here, so each term is a *modeled* bending-mode basis:
-deterministic per-(mirror, term) Zernike vectors with physically
-motivated amplitudes and the exact same config keys, units, angle
-parsing and composition order — a config written for the reference
-parses unchanged and produces perturbations of the right character and
-scale.
+lookup tables, 20+20 bending modes).  Those grid files are not
+available here, but the measured *optical response* of every bending
+mode is: the package ships default mode tables in
+``imsim_tpu/data/fea/`` derived from the reference's AOS sensitivity
+matrix (data/optics_data/sensitivity_matrix.txt, 35 field pts x 19
+Zernikes x 50 DOF, consumed at imsim/optical_system.py:223-224) by
+``tools/derive_fea_from_sensitivity.py`` — see load_measured_fea.
+Config keys, units, angle parsing and composition order match the
+reference exactly, so a config written for it parses unchanged.  A
+seeded *modeled* basis remains only as the last-resort fallback when
+no tables resolve (e.g. a stripped install).
 
 Supported terms (all composable, applied in config order):
 
@@ -81,10 +85,23 @@ def _load_npz(path):
 @lru_cache(maxsize=4)
 def load_measured_fea(data_dir: str | None = None) -> dict | None:
     """Measured FEA mode tables from `<data_dir>/fea/`, or None.
-    Cached per directory; pass the directory explicitly in tests."""
+    Cached per directory; pass the directory explicitly in tests.
+
+    Default resolution: IMSIM_TPU_DATA_DIR (a user-supplied projection
+    of batoid_rubin's grids) first, then the tables shipped with this
+    package — derived from the reference's measured AOS sensitivity
+    matrix by tools/derive_fea_from_sensitivity.py (the field-center
+    wavefront response of each of the 20+20 bending modes,
+    data/optics_data/sensitivity_matrix.txt via
+    imsim/optical_system.py:223-224).  The seeded modeled basis below
+    is the last-resort fallback only."""
     if data_dir is None:
         from ..meta_data import data_dir as _dd
         data_dir = _dd()
+        if not data_dir or not os.path.isdir(
+                os.path.join(data_dir, "fea")):
+            data_dir = os.path.join(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))), "data")
     if not data_dir:
         return None
     base = os.path.join(data_dir, "fea")

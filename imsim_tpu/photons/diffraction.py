@@ -155,7 +155,9 @@ def _atan_pos(x):
     for c in _ATAN_COEF[-2::-1]:
         acc = acc * t + c
     r = z * acc
-    return jnp.where(big, jnp.float32(np.pi / 2) - r, r)
+    # weakly-typed Python float: keeps full precision for f64 callers
+    # (x64 host/analysis paths) without changing the f32 kernel op set
+    return jnp.where(big, np.pi / 2 - r, r)
 
 
 def apply_diffraction(key, pupil_u, pupil_v, dxdz, dydz, wavelength_nm,

@@ -212,3 +212,41 @@ def test_measured_fea_modes_roundtrip(tmp_path):
 
     # absent dir -> None (modeled fallback)
     assert load_measured_fea(str(tmp_path / "nope")) is None
+
+
+def test_shipped_fea_tables_match_sensitivity_matrix():
+    """The package-default mode tables are DERIVED from the reference's
+    measured AOS sensitivity matrix (imsim/optical_system.py:223-224):
+    pin each bending mode's total surface shape to the field-center
+    wavefront response / 2 (tools/derive_fea_from_sensitivity.py)."""
+    import os
+
+    from imsim_tpu.optics.fea import load_measured_fea
+
+    meas = load_measured_fea()          # default: shipped package tables
+    assert meas is not None and meas["m1m3"] is not None, \
+        "shipped fea/ tables missing"
+    m13, m2 = meas["m1m3"], meas["m2"]
+    assert int(m13["jmin"]) == 4
+    assert m13["m1_bending"].shape == (20, 19)
+
+    matrix = "/root/reference/data/optics_data/sensitivity_matrix.txt"
+    if not os.path.isfile(matrix):
+        pytest.skip("reference sensitivity matrix not available")
+    from imsim_tpu.optics.aos import load_sensitivity_matrix
+
+    senM = load_sensitivity_matrix(matrix)
+    total = m13["m1_bending"] + m13["m3_bending"]      # monolith total
+    np.testing.assert_allclose(total, senM[0, :, 10:30].T / 2.0 * 1e-6,
+                               rtol=1e-12, atol=0)
+    np.testing.assert_allclose(m2["m2_bending"],
+                               senM[0, :, 30:50].T / 2.0 * 1e-6,
+                               rtol=1e-12, atol=0)
+    # 0.7/0.3 monolith split
+    np.testing.assert_allclose(m13["m1_bending"], 0.7 * total, rtol=1e-12)
+    # gravity rows are unit-RMS measured shapes at the documented scales
+    g_tot = m13["m1_gravity"] + m13["m3_gravity"]
+    np.testing.assert_allclose(np.sqrt((g_tot ** 2).sum(axis=1)),
+                               0.4e-6, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.sqrt((m2["m2_gravity"] ** 2).sum(axis=1)), 0.15e-6, rtol=1e-9)
