@@ -32,7 +32,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 1024
-_ROWS = 64          # block = (64, 1024) f32 = 256 KB; 13 io blocks ~3.3 MB
+# Block sizing is VMEM-budgeted, not throughput-tuned: at _ROWS=64 the
+# 13 I/O blocks (double-buffered) plus the 12-surface trace's live set
+# peaked at 16.07 MB of scoped VMEM -- 72 KB over the default 16 MB
+# stack limit -- so production batches (>=2^18 photons) failed to
+# compile on the real chip (BENCH_r04).  _ROWS=32 halves both terms
+# (~8 MB peak), and the pallas_call below additionally raises
+# vmem_limit_bytes so a future few-KB regression degrades double
+# buffering instead of killing the compile.
+_ROWS = 32          # block = (32, 1024) f32 = 128 KB; 13 io blocks ~1.6 MB
 
 # scal layout (1, 16) f32 SMEM
 _SCAL = ("bore_alt", "bore_az", "j00", "j01", "j10", "j11", "crot",
@@ -171,6 +179,9 @@ def field_to_sensor_pallas(key, tel, ctx, thx, thy, pu, pv, wl, t, flux,
         cost_estimate=pl.CostEstimate(
             flops=2500 * np_, bytes_accessed=13 * 4 * np_,
             transcendentals=25 * np_),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )
     outs = fn(scal, surf, *ins)
