@@ -198,7 +198,7 @@ def main(compile_only=False):
     from imsim_tpu.image.ccd_render import _add_sky_and_noise
     from imsim_tpu.image.photon_pooling import (batch_from_obj_map,
                                                 build_obj_map,
-                                                materialize_rows)
+                                                materialize_rows_T)
     from imsim_tpu.image.render import shoot_full
     from imsim_tpu.optics.wcs_factory import make_wcs_factory
     from imsim_tpu.photons.optics_ops import make_optics_context
@@ -287,15 +287,22 @@ def main(compile_only=False):
             # gather-free per-photon params + wavelength-ICDF Chebyshev
             # rows (scatter + cumsum, block-paired layout)
             mat = jnp.concatenate([scene.params, scene.wl_cheb], axis=1)
-            row = materialize_rows(mat, cum, b % NB, NB, N, PAIR,
-                                   SHARE)
+            row = materialize_rows_T(mat, cum, b % NB, NB, N, PAIR,
+                                     SHARE)
             kb = jax.random.fold_in(key, b)
+            si_key = jax.random.fold_in(kb, 7)
+            # fused silicon tail (production formulation): valid since
+            # tree rings ride the folded static field; BENCH_NO_TRFOLD
+            # experiments fall back to the per-chunk displacement
+            fuse = trf is not None or not sil.tr_active
             ph = shoot_full(kb, scene, obj_idx, w, tel, ctx,
                             screens=scr, sk_table=sk, exptime=30.0,
                             row=row, pupil_pairing=PAIR,
-                            screen_share=SHARE)
-            return accumulate_silicon(jax.random.fold_in(kb, 7), ph,
-                                      img, sil, nsub=4, tr_field=trf)
+                            screen_share=SHARE,
+                            silicon=sil if fuse else None,
+                            si_key=si_key)
+            return accumulate_silicon(si_key, ph, img, sil, nsub=4,
+                                      tr_field=trf, pre_displaced=fuse)
 
         image = jax.lax.fori_loop(0, K, batch, image)
         return image[2048, 2048]

@@ -31,7 +31,7 @@ def main(flux=100_000, trials=12):
     from imsim_tpu.electronics.camera import get_camera
     from imsim_tpu.image.photon_pooling import (batch_from_obj_map,
                                                 build_obj_map,
-                                                materialize_rows)
+                                                materialize_rows_T)
     from imsim_tpu.image.render import shoot_full
     from imsim_tpu.image.scene import WL_CDF_K, DeviceScene
     from imsim_tpu.optics.wcs_factory import make_wcs_factory
@@ -78,7 +78,7 @@ def main(flux=100_000, trials=12):
         obj_idx, w = batch_from_obj_map(omap, jnp.int32(N), 0, 1, N,
                                         pair, share)
         mat = jnp.concatenate([scene.params, scene.wl_cheb], axis=1)
-        row = materialize_rows(mat, cum_dev, 0, 1, N, pair, share)
+        row = materialize_rows_T(mat, cum_dev, 0, 1, N, pair, share)
         ph = shoot_full(key, scene, obj_idx, w, tel, octx,
                         screens=screens, sk_table=sk_poly, exptime=30.0,
                         row=row, pupil_pairing=pair, screen_share=share)

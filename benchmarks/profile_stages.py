@@ -43,7 +43,7 @@ def main():
     from imsim_tpu.electronics.camera import get_camera
     from imsim_tpu.image.photon_pooling import (batch_from_obj_map,
                                                 build_obj_map,
-                                                materialize_rows)
+                                                materialize_rows_T)
     from imsim_tpu.image.render import sample_intrinsic, shoot_full
     from imsim_tpu.optics.wcs_factory import make_wcs_factory
     from imsim_tpu.photons.batch import PhotonBatch
@@ -105,12 +105,12 @@ def main():
         obj_idx, w = batch_from_obj_map(omap, jnp.int32(total), b, NB, N,
                                         PAIR)
         mat = jnp.concatenate([scene.params, scene.wl_cheb], axis=1)
-        row = materialize_rows(mat, cum, b, NB, N, PAIR)
+        row = materialize_rows_T(mat, cum, b, NB, N, PAIR)
         return obj_idx, w, row
 
     def s_rows(key, omap, cum, scene, *_):
         obj_idx, w, row = rows_of(key, omap, cum, scene)
-        return jnp.sum(row[:, 0]) + jnp.sum(w) + jnp.sum(obj_idx)
+        return jnp.sum(row[0]) + jnp.sum(w) + jnp.sum(obj_idx)
 
     def s_intrinsic(key, omap, cum, scene, *_):
         obj_idx, w, row = rows_of(key, omap, cum, scene)

@@ -74,11 +74,12 @@ def main(variants):
                 kb = jax.random.fold_in(key, b)
                 keys = jax.random.split(kb, 8)
                 if variant == "no_params":
-                    row = jnp.broadcast_to(scene.params[0], (N, 10))
+                    row = jnp.broadcast_to(scene.params[0][:, None],
+                                           (10, N))
                 else:
-                    row = scene.params[obj_idx]
-                thx = row[:, COL_X]
-                thy = row[:, COL_Y]
+                    row = scene.params[obj_idx].T
+                thx = row[COL_X]
+                thy = row[COL_Y]
                 if variant != "no_intrinsic":
                     dxa, dya = sample_intrinsic(keys[0], row, obj_idx,
                                                 pixel_scale=1.0,

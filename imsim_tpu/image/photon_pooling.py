@@ -327,6 +327,60 @@ def materialize_rows(params, cum_counts, b, nb, batch_size,
         batch_size, C)
 
 
+def materialize_rows_T(params, cum_counts, b, nb, batch_size,
+                       pair: int = 1, share: int = 1):
+    """materialize_rows in the TRANSPOSED, photon-minor orientation:
+    (C, batch_size) with photons on the TPU lane axis, slot layout.
+
+    Every consumer reads the row matrix as per-photon COLUMN vectors
+    (field angles, profile params, the Chebyshev wavelength
+    coefficients one degree at a time), so (C, N) makes each read a
+    contiguous full-lane slice; the (N, C=24) orientation pads 24
+    lanes to 128 in every VREG and tile.
+
+    On TPU at pooled sizes the whole reconstruction runs as ONE Pallas
+    pass (ops/scanrows.scan_slot_prefix): the per-object deltas are
+    scattered straight into the two-level slot planes (C, pe, mp) and
+    the kernel resolves the ordinal-order prefix with per-plane lane
+    scans + a same-lane cross-plane suffix — replacing XLA's ~24
+    log-shift HBM passes for the cumsum AND the ~25-40 ms pe-relayout
+    transpose (91 -> 31 ms per 16.7M x 24 batch on v5e, probe_rows).
+    The XLA composition (materialize_rows + transpose) serves CPU
+    meshes and small batches; IMSIM_TPU_NO_SCANROWS=1 forces it."""
+    import os as _os
+
+    from ..ops import scanrows
+
+    pe = pair * share
+    if not scanrows.slot_size_ok(batch_size, pe) \
+            or _os.environ.get("IMSIM_TPU_NO_SCANROWS"):
+        return materialize_rows(params, cum_counts, b, nb, batch_size,
+                                pair, share).T
+
+    def _xla(params, cum_counts, b):
+        return materialize_rows(params, cum_counts, b, nb, batch_size,
+                                pair, share).T
+
+    from ..ops.scanrows import scan_slot_prefix
+
+    def _slot(params, cum_counts, b):
+        C = params.shape[1]
+        starts = jnp.concatenate([jnp.zeros((1,), cum_counts.dtype),
+                                  cum_counts[:-1]])
+        j0 = jnp.maximum(-((b - starts) // nb), 0).astype(jnp.int32)
+        deltasT = (params - jnp.concatenate(
+            [jnp.zeros((1, C), params.dtype), params[:-1]])).T
+        mu = j0 % pe
+        beta = (mu % pair) * share + (mu // pair)
+        mp = batch_size // pe
+        d = jnp.zeros((C, pe, mp), params.dtype)
+        d = d.at[:, beta, j0 // pe].add(deltasT, mode="drop")
+        return scan_slot_prefix(d, pair, share).reshape(C, batch_size)
+
+    return jax.lax.platform_dependent(params, cum_counts, b,
+                                      tpu=_slot, default=_xla)
+
+
 def make_psf_mtf(cfg: PoolingConfig):
     """PSF MTF table for classification/FFT stamps (None when the FFT
     branch is disabled)."""
@@ -495,8 +549,16 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
     # random wavelength gather per photon)
     mat = scene.params if scene.wl_cheb is None else jnp.concatenate(
         [scene.params, scene.wl_cheb], axis=1)
-    row = None if cum is None else materialize_rows(
+    row = None if cum is None else materialize_rows_T(
         mat, cum, b, nb, batch_size, pair, share)
+    # fuse the image-independent silicon depth/diffusion displacement
+    # into the photon chain (the Pallas ray-chain kernel on TPU)
+    # whenever the downstream accumulate runs in 'image' BF mode and
+    # tree rings are either folded as a static field or absent — the
+    # per-chunk displacement stage then disappears entirely
+    fuse_si = (silicon is not None and tel is not None
+               and ctx is not None
+               and (tr_field is not None or not silicon.tr_active))
     if tel is not None and ctx is not None:
         photons = render.shoot_full(
             key, scene, obj_idx, weight, tel, ctx, screens=screens,
@@ -504,7 +566,8 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
             pupil_pairing=pair, screen_share=share,
             chromatic_exponent=chromatic_exponent, wl_ref=wl_ref,
             apply_dcr=apply_dcr, apply_diffraction=apply_diffraction,
-            diffraction_field_rotation=diffraction_field_rotation)
+            diffraction_field_rotation=diffraction_field_rotation,
+            silicon=silicon if fuse_si else None, si_key=si_key)
     else:
         photons = render.shoot(
             key, scene, obj_idx, weight,
@@ -518,7 +581,8 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
             photons.flux, mode="drop")
     if silicon is not None:
         return accumulate_silicon(si_key, photons, image, silicon,
-                                  nsub=nsub, tr_field=tr_field), realized
+                                  nsub=nsub, tr_field=tr_field,
+                                  pre_displaced=fuse_si), realized
     return accumulate(photons, image), realized
 
 

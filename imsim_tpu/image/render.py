@@ -75,7 +75,9 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
                      aux_cloud=None):
     """Sample profile offsets (in pixels) for a pooled photon batch.
 
-    row: (N, N_COLS) gathered per-photon object parameters.
+    row: (N_COLS+, N) per-photon object parameters, photon-minor
+    (photon_pooling.materialize_rows_T orientation: each parameter is
+    a contiguous full-lane slice).
     aux_cloud: (M, CLOUD_K, 2) FITS-stamp point clouds (arcsec).
 
     Computes each family's sample and selects by object type — the Sersic
@@ -86,11 +88,11 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
     n = obj_idx.shape[0]
     k_srs, k_pick, k_box = jax.random.split(key, 3)
 
-    t = row[:, COL_TYPE].astype(jnp.int32)
-    q = row[:, COL_P2]
-    beta = row[:, COL_P3]
-    hlr_as = row[:, COL_P0]
-    srs_n = row[:, COL_P1]
+    t = row[COL_TYPE].astype(jnp.int32)
+    q = row[COL_P2]
+    beta = row[COL_P3]
+    hlr_as = row[COL_P0]
+    srs_n = row[COL_P1]
 
     # --- Sersic (knots use an exponential disk: n = 1) -------------------
     srs_n_eff = jnp.where(t == KNOTS, 1.0, srs_n)
@@ -114,9 +116,9 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
 
     # --- Streak: uniform box length x width rotated by pa ----------------
     ub = jax.random.uniform(k_box, (n, 2)) - 0.5
-    blen = row[:, COL_P0]
-    bwid = row[:, COL_P1]
-    bpa = row[:, COL_P2]
+    blen = row[COL_P0]
+    bwid = row[COL_P1]
+    bpa = row[COL_P2]
     bx0 = ub[:, 0] * blen
     by0 = ub[:, 1] * bwid
     bx = bx0 * jnp.cos(bpa) - by0 * jnp.sin(bpa)
@@ -132,7 +134,7 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
     # --- FITS postage stamps: gather from the per-object point cloud ----
     if aux_cloud is not None and aux_cloud.shape[0] > 1:
         Kc = aux_cloud.shape[1]
-        cloud_row = row[:, COL_P2].astype(jnp.int32)
+        cloud_row = row[COL_P2].astype(jnp.int32)
         pick_c = (jax.random.uniform(k_pick, (n,))
                   * Kc).astype(jnp.int32) % Kc
         flat_c = aux_cloud.reshape(-1, 2)
@@ -147,8 +149,8 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
                              jnp.where(is_ell, beta, 0.0))
     # lensing applies to every extended type
     is_lensed = is_ell | (t == FITSIMAGE)
-    gx, gy = P.apply_shear_mag(ex, ey, row[:, COL_G1], row[:, COL_G2],
-                               row[:, COL_MU])
+    gx, gy = P.apply_shear_mag(ex, ey, row[COL_G1], row[COL_G2],
+                               row[COL_MU])
     dx = jnp.where(is_lensed, gx, ex)
     dy = jnp.where(is_lensed, gy, ey)
     return dx / pixel_scale, dy / pixel_scale  # arcsec -> pixels
@@ -169,7 +171,8 @@ def shoot(key, scene: DeviceScene, obj_idx: jax.Array, weight: jax.Array,
     keys = jax.random.split(key, 6)
 
     if row is None:
-        row = scene.params[obj_idx]  # row-gather for all scalar params
+        # row-gather for all scalar params, then photon-minor orientation
+        row = scene.params[obj_idx].T
 
     # intrinsic + lensing offsets
     dx, dy = sample_intrinsic(keys[0], row, obj_idx, pixel_scale,
@@ -181,8 +184,8 @@ def shoot(key, scene: DeviceScene, obj_idx: jax.Array, weight: jax.Array,
     dx = dx + (kx + gx) / pixel_scale
     dy = dy + (ky + gy) / pixel_scale
 
-    x = row[:, COL_X] + dx
-    y = row[:, COL_Y] + dy
+    x = row[COL_X] + dx
+    y = row[COL_Y] + dy
 
     # wavelength (+ absorption length) from per-object inverse CDF
     u = jax.random.uniform(keys[3], (n,))
@@ -222,7 +225,8 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
                wl_ref: float = 622.0,
                apply_dcr: bool = True,
                apply_diffraction: bool = True,
-               diffraction_field_rotation: bool = True) -> PhotonBatch:
+               diffraction_field_rotation: bool = True,
+               silicon=None, si_key=None) -> PhotonBatch:
     """Full physics chain for a pooled batch: the per-photon equivalent of
     the reference's photon_ops pipeline (imsim/stamp.py:527-573 with
     config/imsim-config.yaml:281-320):
@@ -259,7 +263,7 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
     from ..photons.optics_ops import field_to_sensor
     from ..psf.atmosphere import first_kick_angles
     from ..sensor.silicon import absorption_length_poly
-    from ..utils.lookup import clenshaw_rows
+    from ..utils.lookup import clenshaw_cols
     from .scene import N_COLS
 
     arcsec = jnp.float32(np.pi / 180 / 3600)
@@ -268,12 +272,13 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
 
     if row is None:
         # per-photon row-gather; callers on the pooled path pass the
-        # gather-free materialize_rows result instead
+        # gather-free materialize_rows_T result instead
         row = scene.params[obj_idx]
         if scene.wl_cheb is not None:
             row = jnp.concatenate([row, scene.wl_cheb[obj_idx]], axis=1)
-    thx = row[:, COL_X]
-    thy = row[:, COL_Y]
+        row = row.T
+    thx = row[COL_X]
+    thy = row[COL_Y]
 
     # intrinsic + lensing offsets in arcsec (pixel_scale=1 -> arcsec)
     dx_as, dy_as = sample_intrinsic(keys[0], row, obj_idx, pixel_scale=1.0,
@@ -285,10 +290,10 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
     # scene carries Chebyshev inverse-CDF rows (materialized into the
     # row matrix next to params); else ONE fused row-gather
     u = jax.random.uniform(keys[1], (n,))
-    if scene.wl_cheb is not None and row.shape[1] > N_COLS:
+    if scene.wl_cheb is not None and row.shape[0] > N_COLS:
         # arcsin-stretched Chebyshev variable (see scene.fit_wl_cheb)
         x_u = jnp.arcsin(2.0 * u - 1.0) * jnp.float32(2.0 / np.pi)
-        wl = clenshaw_rows(row[:, N_COLS:], x_u)
+        wl = clenshaw_cols(row[N_COLS:], x_u)
         labs = absorption_length_poly(wl)
     elif scene.labs_icdf is not None:
         wl, labs = _interp_rows2(scene.wl_icdf, scene.labs_icdf,
@@ -343,10 +348,16 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
         thx = thx + skx * arcsec
         thy = thy + sky * arcsec
 
+    # with `silicon` + `si_key`: the image-independent depth/diffusion
+    # displacement fuses into the same chain (in the Pallas kernel on
+    # TPU) and x/y come back FINAL; accumulate_silicon is then called
+    # with pre_displaced=True (the BF/tree-ring continuity update is
+    # image-space and unaffected)
     x_pix, y_pix, dxdz, dydz, flux = field_to_sensor(
         keys[5], tel, ctx, thx, thy, pu, pv, wl, t, weight,
         apply_dcr=apply_dcr, apply_diffraction=apply_diffraction,
-        field_rotation=diffraction_field_rotation)
+        field_rotation=diffraction_field_rotation,
+        silicon=silicon, si_key=si_key)
     return PhotonBatch(x=x_pix, y=y_pix, flux=flux, wavelength=wl,
                        dxdz=dxdz, dydz=dydz, pupil_u=pu, pupil_v=pv,
                        time=t, abs_len=labs)

@@ -64,9 +64,19 @@ def _surf_matrix(tel):
 
 
 def _kernel(scal, surf, thx_ref, thy_ref, pu_ref, pv_ref, wl_ref, t_ref,
-            w_ref, nrm_ref, x_ref, y_ref, dxdz_ref, dydz_ref, flux_ref,
-            *, kinds, n_coef, statics, apply_dcr, apply_diffr,
-            field_rotation):
+            w_ref, nrm_ref, *refs, kinds, n_coef, statics, apply_dcr,
+            apply_diffr, field_rotation, silicon_statics):
+    if silicon_statics is None:
+        u_ref = g1_ref = g2_ref = None
+        x_ref, y_ref, dxdz_ref, dydz_ref, flux_ref = refs
+    else:
+        # fused silicon tail: the depth/diffusion draws ride in as
+        # blocks (XLA threefry is ~free; in-kernel PRNG would change
+        # the stream) and the displaced pixel positions come out —
+        # the separate XLA displacement stage and its 5-array HBM
+        # round-trip disappear (~25 ms per 16.7M-photon batch).
+        u_ref, g1_ref, g2_ref, x_ref, y_ref, flux_ref = refs
+        dxdz_ref = dydz_ref = None
     from ..optics.trace import rays_from_field, trace_surfaces
     from ..optics.wcs_factory import FOCAL_FRAME
     from ..photons import diffraction as D
@@ -120,22 +130,44 @@ def _kernel(scal, surf, thx_ref, thy_ref, pu_ref, pv_ref, wl_ref, t_ref,
     fy = ff[1, 0] * out["x"] + ff[1, 1] * out["y"]
     ux = fx * 1e3 - ctx.det_cx_mm
     uy = fy * 1e3 - ctx.det_cy_mm
-    x_ref[...] = (ctx.det_crot * ux + ctx.det_srot * uy) * 100.0 \
+    xpix = (ctx.det_crot * ux + ctx.det_srot * uy) * 100.0 \
         + (det_nx - 1) / 2.0
-    y_ref[...] = (-ctx.det_srot * ux + ctx.det_crot * uy) * 100.0 \
+    ypix = (-ctx.det_srot * ux + ctx.det_crot * uy) * 100.0 \
         + (det_ny - 1) / 2.0
     dxdz, dydz = _si_refract(out["vx"], out["vy"], wl)
-    dxdz_ref[...] = dxdz
-    dydz_ref[...] = dydz
-    flux_ref[...] = flux
+    if silicon_statics is None:
+        x_ref[...] = xpix
+        y_ref[...] = ypix
+        dxdz_ref[...] = dxdz
+        dydz_ref[...] = dydz
+        flux_ref[...] = flux
+    else:
+        from ..sensor.silicon import (absorption_length_poly,
+                                      depth_diffusion_displace)
+
+        thick, pix_um, diff_um = silicon_statics
+        labs = absorption_length_poly(wl)
+        xpix, ypix, flux = depth_diffusion_displace(
+            u_ref[...], g1_ref[...], g2_ref[...], xpix, ypix, dxdz,
+            dydz, flux, labs, thick, pix_um, diff_um)
+        x_ref[...] = xpix
+        y_ref[...] = ypix
+        flux_ref[...] = flux
 
 
 def field_to_sensor_pallas(key, tel, ctx, thx, thy, pu, pv, wl, t, flux,
                            apply_dcr=True, apply_diffraction=True,
-                           field_rotation=True, interpret=False):
+                           field_rotation=True, interpret=False,
+                           silicon_statics=None, si_draws=None):
     """Drop-in for photons.optics_ops.field_to_sensor's fused chain.
     Same outputs (x_pix, y_pix, dxdz, dydz, flux); the diffraction
-    normal is drawn with `key` exactly as the XLA path draws it."""
+    normal is drawn with `key` exactly as the XLA path draws it.
+
+    With silicon_statics=(thickness_um, pixel_um, diffusion_um) and
+    si_draws=(u, g1, g2) the kernel also applies the image-independent
+    silicon depth/diffusion displacement (sensor.silicon.
+    depth_diffusion_displace) and returns (x, y, zeros, zeros, flux)
+    with x/y FINAL sub-pixel positions."""
     n = thx.shape[0]
     nrm = jax.random.normal(key, (n,)) if apply_diffraction \
         else jnp.zeros((n,), jnp.float32)
@@ -151,6 +183,8 @@ def field_to_sensor_pallas(key, tel, ctx, thx, thy, pu, pv, wl, t, flux,
         return a.reshape(rows, _LANES)
 
     ins = [shape2(a) for a in (thx, thy, pu, pv, wl, t, flux, nrm)]
+    if silicon_statics is not None:
+        ins += [shape2(a) for a in si_draws]
     scal = jnp.stack([
         ctx.bore_alt, ctx.bore_az, ctx.j00, ctx.j01, ctx.j10, ctx.j11,
         ctx.crot, ctx.srot, ctx.k1_ref, ctx.k2_ref, ctx.det_cx_mm,
@@ -165,19 +199,22 @@ def field_to_sensor_pallas(key, tel, ctx, thx, thy, pu, pv, wl, t, flux,
     grid = (rows // _ROWS,)
     blk = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 5
+    n_in = len(ins)
+    n_out = 5 if silicon_statics is None else 3
+    out_shape = [jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * n_out
     fn = pl.pallas_call(
         functools.partial(
             _kernel, kinds=tuple(tel.kinds), n_coef=surf.shape[1] - 16,
             statics=statics, apply_dcr=apply_dcr,
-            apply_diffr=apply_diffraction, field_rotation=field_rotation),
+            apply_diffr=apply_diffraction, field_rotation=field_rotation,
+            silicon_statics=silicon_statics),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 8,
-        out_specs=[blk] * 5,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * n_in,
+        out_specs=[blk] * n_out,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2500 * np_, bytes_accessed=13 * 4 * np_,
+            flops=2500 * np_, bytes_accessed=(n_in + n_out) * 4 * np_,
             transcendentals=25 * np_),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -185,7 +222,11 @@ def field_to_sensor_pallas(key, tel, ctx, thx, thy, pu, pv, wl, t, flux,
         interpret=interpret,
     )
     outs = fn(scal, surf, *ins)
-    return tuple(o.reshape(np_)[:n] for o in outs)
+    outs = tuple(o.reshape(np_)[:n] for o in outs)
+    if silicon_statics is not None:
+        z = jnp.zeros((n,), jnp.float32)
+        return outs[0], outs[1], z, z, outs[2]
+    return outs
 
 
 def size_ok(n: int) -> bool:

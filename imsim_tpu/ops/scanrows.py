@@ -1,0 +1,176 @@
+"""Pallas TPU kernel: single-pass prefix sum along the lane (minor)
+axis of a (C, N) matrix.
+
+Why a kernel: the pooled row materialization (image/photon_pooling.py
+materialize_rows) reconstructs per-photon parameter rows from
+per-object deltas with one long cumsum.  XLA lowers cumsum as a
+log-depth chain of shifted adds — ~log2(N) streaming HBM passes over
+the whole matrix (~47 ms per 16.7M x 24 f32 batch on v5e).  A
+sequential-grid Pallas kernel does it in ONE read + ONE write: each
+grid step cumsums its lane block in VMEM (the in-block log-shift adds
+run at VMEM bandwidth) and carries the running column total in a VMEM
+scratch accumulator.
+
+Layout note (TPU-first): the matrix is (C, N) — photons on LANES —
+so every per-photon column the consumers read (field angles, profile
+params, Chebyshev wavelength coefficients) is a contiguous (N,) slice
+with full 128-lane utilization; the (N, C) orientation would pad
+C=24 lanes to 128 in every VREG.
+
+Reference behavior being replaced: per-photon parameter access for
+the pooled batch, imsim/photon_pooling.py:334-388 (GalSim gathers the
+per-object rows; see docs/performance.md rule 1/4).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLK = 16_384          # lanes per grid step; (24, 16384) f32 = 1.5 MB
+
+
+def _block_scan(x, block):
+    """In-VMEM inclusive prefix sum along lanes: log2(block) masked
+    roll+adds (Mosaic has no cumsum primitive; these passes run at VMEM
+    bandwidth, which is the point — XLA's identical log-depth
+    decomposition round-trips HBM between passes)."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < block:
+        x = x + jnp.where(ids >= s, pltpu.roll(x, s, 1), 0.0)
+        s *= 2
+    return x
+
+
+def _kernel(x_ref, o_ref, carry_ref, *, block):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    cs = _block_scan(x_ref[...], block) + carry_ref[...]
+    o_ref[...] = cs
+    carry_ref[...] = cs[:, block - 1:block]
+
+
+def _block_scan3(x, block):
+    """Lane prefix sum of a (C, pe, block) VMEM block, per plane."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    s = 1
+    while s < block:
+        x = x + jnp.where(ids >= s, pltpu.roll(x, s, 2), 0.0)
+        s *= 2
+    return x
+
+
+def _kernel_slot(d_ref, o_ref, carry_ref, *, blkq, beta_order):
+    """Slot-layout ordinal prefix: input deltas D are pre-scattered
+    into the two-level slot layout (C, pe, mp) — plane beta, lane q
+    holds the delta whose photon ordinal is pe*q + mu(beta) (see
+    photon_pooling.member_offsets).  The ordinal-order prefix needed at
+    (beta, q) decomposes into pure per-plane lane scans plus a
+    same-lane cross-plane correction:
+
+        prefix(pe*q + mu) = sum_planes P(q) - sum_{mu' > mu} D(q)
+
+    with P the per-plane inclusive lane scan.  No lane shuffles — the
+    relayout XLA charges ~40 ms for never happens; planes are
+    sublane-axis slices.  beta_order = planes sorted by mu."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    d = d_ref[...]
+    p = _block_scan3(d, blkq) + carry_ref[...]
+    carry_ref[...] = p[:, :, blkq - 1:blkq]
+    total = jnp.sum(p, axis=1, keepdims=True)
+    # suffix over planes in mu order: out(plane with k-th smallest mu)
+    # = total - sum of the planes with larger mu
+    outs = [None] * len(beta_order)
+    suffix = jnp.zeros_like(total)
+    for b in reversed(beta_order):
+        outs[b] = total - suffix
+        suffix = suffix + d[:, b:b + 1, :]
+    o_ref[...] = jnp.concatenate(outs, axis=1)
+
+
+def scan_lanes(x, block=_BLK, interpret=False):
+    """Inclusive prefix sum of x (C, N) along axis 1; N % block == 0."""
+    C, N = x.shape
+    if N % block:
+        raise ValueError(f"N={N} not a multiple of block={block}")
+    grid = (N // block,)
+    blk = pl.BlockSpec((C, block), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, block=block),
+        grid=grid,
+        in_specs=[blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((C, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((C, 1), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * C * N, bytes_accessed=2 * 4 * C * N,
+            transcendentals=0),
+        interpret=interpret,
+    )(x)
+
+
+def scan_slot_prefix(d, pair: int, share: int, blkq=1024,
+                     interpret=False):
+    """Ordinal prefix sum of slot-layout deltas d (C, pe, mp):
+    out[c, beta, q] = sum of d over all slots whose photon ordinal
+    pe*q' + mu(beta') <= pe*q + mu(beta).  This IS materialize_rows'
+    cumsum + pe relayout in one kernel, provided the caller scattered
+    each object's delta at plane beta(j0 % pe), lane j0 // pe."""
+    C, pe, mp = d.shape
+    if pe != pair * share or mp % blkq:
+        raise ValueError(f"shape {d.shape} vs pair={pair} share={share}"
+                         f" blkq={blkq}")
+    # plane beta = h*share + r holds member mu = pair*r + h; sort
+    # planes by mu for the cross-plane suffix
+    beta_order = tuple((mu % pair) * share + (mu // pair)
+                       for mu in range(pe))
+    grid = (mp // blkq,)
+    blk = pl.BlockSpec((C, pe, blkq), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_slot, blkq=blkq,
+                          beta_order=beta_order),
+        grid=grid,
+        in_specs=[blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((C, pe, mp), d.dtype),
+        scratch_shapes=[pltpu.VMEM((C, pe, 1), d.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * C * pe * mp, bytes_accessed=2 * 4 * C * pe * mp,
+            transcendentals=0),
+        interpret=interpret,
+    )(d)
+
+
+def size_ok(n: int) -> bool:
+    """Pooled-batch sizes amortize the pallas_call overhead; small
+    test batches stay on the XLA cumsum."""
+    return n >= (1 << 18) and n % _BLK == 0
+
+
+def slot_size_ok(batch_size: int, pe: int, blkq: int = 1024) -> bool:
+    """scan_slot_prefix dispatch test: pooled-batch scale and an
+    mp = batch_size/pe that tiles into whole lane blocks."""
+    return (pe > 1 and batch_size >= (1 << 18)
+            and batch_size % pe == 0
+            and (batch_size // pe) % blkq == 0)

@@ -217,7 +217,7 @@ def mesh_pooled_step(mesh: Mesh, nb: int, batch_size: int, pair: int,
         realized0 = realized[0]
 
         from ..image.photon_pooling import (batch_from_obj_map,
-                                            materialize_rows)
+                                            materialize_rows_T)
 
         p = jax.lax.axis_index("phot")
         b = b_outer * n_phot + p
@@ -228,8 +228,8 @@ def mesh_pooled_step(mesh: Mesh, nb: int, batch_size: int, pair: int,
         w = w * live
         mat = scene.params if scene.wl_cheb is None else jnp.concatenate(
             [scene.params, scene.wl_cheb], axis=1)
-        row = materialize_rows(mat, cum, b_eff, nb, batch_size, pair,
-                               share)
+        row = materialize_rows_T(mat, cum, b_eff, nb, batch_size, pair,
+                                 share)
         if use_optics:
             photons = render.shoot_full(
                 key, scene, obj_idx, w, tel, octx, screens=screens,

@@ -150,7 +150,7 @@ def silicon_refraction(vx, vy, vz, wavelength_nm):
 def field_to_sensor(key, tel, ctx: OpticsContext, thx, thy, pupil_u,
                     pupil_v, wavelength_nm, time_s, flux,
                     apply_dcr=True, apply_diffraction=True,
-                    field_rotation=True):
+                    field_rotation=True, silicon=None, si_key=None):
     """The fused RubinDiffractionOptics(+DCR+Refraction) chain: field
     angles -> detector pixels + in-silicon slopes.  Returns
     (x_pix, y_pix, dxdz, dydz, flux) with vignetted flux zeroed.
@@ -165,34 +165,70 @@ def field_to_sensor(key, tel, ctx: OpticsContext, thx, thy, pupil_u,
     reference path and serves CPU meshes and small stamps.  The split
     is jax.lax.platform_dependent (lowering-time, correct under
     forced-CPU virtual meshes — see sensor/silicon.displacement_field).
-    IMSIM_TPU_NO_RAYCHAIN=1 disables the kernel for A/B debugging."""
+    IMSIM_TPU_NO_RAYCHAIN=1 disables the kernel for A/B debugging.
+
+    With `silicon` (a SiliconParams) and `si_key`, the image-
+    independent silicon depth/diffusion displacement
+    (sensor.silicon.depth_diffusion_displace) is applied to the
+    outputs on BOTH platforms — inside the Pallas kernel on TPU —
+    and the returned x/y are FINAL sub-pixel positions (dxdz/dydz
+    come back as zeros).  The draws are shared by both branches, so
+    the platforms stay bit-comparable."""
     import os as _os
 
     from ..ops import raychain
 
+    sil_statics = draws = None
+    if silicon is not None:
+        from ..sensor.silicon import (absorption_length_poly,
+                                      depth_diffusion_displace)
+
+        sil_statics = (float(silicon.thickness_um),
+                       float(silicon.pixel_um),
+                       float(silicon.diffusion_um))
+        n = thx.shape[0]
+        k_z, k_d = jax.random.split(si_key)
+        u_z = jax.random.uniform(k_z, (n,), minval=1e-7, maxval=1.0)
+        g = jax.random.normal(k_d, (n, 2))
+        draws = (u_z, g[:, 0], g[:, 1])
+
+    def _displace_xla(out, wl):
+        if silicon is None:
+            return out
+        x, y, dxdz, dydz, f = out
+        labs = absorption_length_poly(wl)
+        x, y, f = depth_diffusion_displace(
+            draws[0], draws[1], draws[2], x, y, dxdz, dydz, f, labs,
+            *sil_statics)
+        z = jnp.zeros_like(x)
+        return (x, y, z, z, f)
+
     if raychain.size_ok(thx.shape[0]) \
             and not _os.environ.get("IMSIM_TPU_NO_RAYCHAIN"):
         def _xla(*args):
-            return jnp.stack(_field_to_sensor_xla(
+            return jnp.stack(_displace_xla(_field_to_sensor_xla(
                 *args, apply_dcr=apply_dcr,
                 apply_diffraction=apply_diffraction,
-                field_rotation=field_rotation))
+                field_rotation=field_rotation), args[7]))
 
         def _pl(*args):
             return jnp.stack(raychain.field_to_sensor_pallas(
                 *args, apply_dcr=apply_dcr,
                 apply_diffraction=apply_diffraction,
-                field_rotation=field_rotation))
+                field_rotation=field_rotation,
+                silicon_statics=sil_statics, si_draws=draws))
 
         packed = jax.lax.platform_dependent(
             key, tel, ctx, thx, thy, pupil_u, pupil_v, wavelength_nm,
             time_s, flux, tpu=_pl, default=_xla)
         return tuple(packed[i] for i in range(5))
-    return _field_to_sensor_xla(key, tel, ctx, thx, thy, pupil_u,
-                                pupil_v, wavelength_nm, time_s, flux,
-                                apply_dcr=apply_dcr,
-                                apply_diffraction=apply_diffraction,
-                                field_rotation=field_rotation)
+    return _displace_xla(
+        _field_to_sensor_xla(key, tel, ctx, thx, thy, pupil_u,
+                             pupil_v, wavelength_nm, time_s, flux,
+                             apply_dcr=apply_dcr,
+                             apply_diffraction=apply_diffraction,
+                             field_rotation=field_rotation),
+        wavelength_nm)
 
 
 def _field_to_sensor_xla(key, tel, ctx, thx, thy, pupil_u, pupil_v,

@@ -382,6 +382,27 @@ def _displacement_slices(image, dKx, dKy):
     return dx, dy
 
 
+def depth_diffusion_displace(u, g1, g2, x, y, dxdz, dydz, flux, labs,
+                             thickness_um, pixel_um, diffusion_um):
+    """Pure per-photon depth + lateral-travel + diffusion displacement
+    (the image-independent part of apply_silicon_displacements, with
+    the randoms PASSED IN): conversion depth z = -labs*ln(u) truncated
+    at the device thickness (deeper photons are lost), lateral travel
+    along the refracted slopes over z, Gaussian diffusion over the
+    remaining drift.  Shared verbatim by the XLA composition and the
+    fused Pallas ray-chain kernel (ops/raychain.py) so both platforms
+    are bit-comparable given the same draws.  Returns (x, y, flux)."""
+    z = -labs * jnp.log(u)
+    alive = z < thickness_um
+    flux = jnp.where(alive, flux, 0.0)
+    z = jnp.minimum(z, thickness_um)
+    x = x + dxdz * z / pixel_um
+    y = y + dydz * z / pixel_um
+    drift = jnp.maximum(thickness_um - z, 0.0)
+    sigma = diffusion_um * jnp.sqrt(drift / thickness_um) / pixel_um
+    return x + sigma * g1, y + sigma * g2, flux
+
+
 def apply_silicon_displacements(key, photons: PhotonBatch,
                                 params: SiliconParams,
                                 disp_x=None, disp_y=None,
@@ -482,10 +503,10 @@ def bf_redistribute(chunk_img, dx, dy):
     return chunk_img - div
 
 
-@partial(jax.jit, static_argnames=("nsub", "bf_mode"))
+@partial(jax.jit, static_argnames=("nsub", "bf_mode", "pre_displaced"))
 def accumulate_silicon(key, photons: PhotonBatch, image, params: SiliconParams,
                        nsub: int = 4, bf_mode: str = "image",
-                       tr_field=None):
+                       tr_field=None, pre_displaced: bool = False):
     """Accumulate a pooled batch through the silicon model, recomputing the
     BF displacement field every batch/nsub photons (the nrecalc cadence,
     imsim/photon_pooling.py:159,195-225).
@@ -502,7 +523,14 @@ def accumulate_silicon(key, photons: PhotonBatch, image, params: SiliconParams,
     (tree_ring_field).  In 'image' mode it is folded into the same
     continuity update as BF and the per-photon tree-ring evaluation is
     skipped — compute it ONCE per CCD/visit and pass it to every batch.
-    Ignored in 'photon' mode."""
+    Ignored in 'photon' mode.
+
+    pre_displaced=True: the producer already applied the per-photon
+    depth/diffusion displacement (shoot_full(silicon=...) fuses it into
+    the Pallas ray-chain kernel on TPU) — each chunk just bins and gets
+    the BF/tree-ring continuity update.  'image' mode only."""
+    if pre_displaced and bf_mode == "photon":
+        raise ValueError("pre_displaced requires bf_mode='image'")
     n = photons.n
     chunk = n // nsub
     fold_tr = tr_field is not None and bf_mode != "photon"
@@ -517,8 +545,10 @@ def accumulate_silicon(key, photons: PhotonBatch, image, params: SiliconParams,
             ph = apply_silicon_displacements(sub, ph, params, dx, dy)
             img = accumulate(ph, img)
         else:
-            ph = apply_silicon_displacements(sub, ph, params, None, None,
-                                             treerings=not fold_tr)
+            if not pre_displaced:
+                ph = apply_silicon_displacements(sub, ph, params, None,
+                                                 None,
+                                                 treerings=not fold_tr)
             chunk_img = accumulate(ph, jnp.zeros_like(img))
             if fold_tr:
                 dx = dx + tr_field[0]

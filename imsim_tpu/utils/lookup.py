@@ -87,6 +87,18 @@ def clenshaw_rows(c: jax.Array, x: jax.Array) -> jax.Array:
     return c[:, 0] + x * b1 - b2
 
 
+def clenshaw_cols(c: jax.Array, x: jax.Array) -> jax.Array:
+    """clenshaw_rows for the TRANSPOSED coefficient layout: c (D, N)
+    columns-of-coefficients, x (N,) -> (N,).  The pooled path stores
+    per-photon rows photon-minor ((C, N), photons on lanes) so each
+    coefficient slice c[k] is a contiguous full-lane read."""
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for k in range(c.shape[0] - 1, 0, -1):
+        b1, b2 = c[k] + 2.0 * x * b1 - b2, b1
+    return c[0] + x * b1 - b2
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class PolyCDF:

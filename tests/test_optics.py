@@ -127,6 +127,62 @@ def test_raychain_pallas_matches_xla():
         assert d.max() <= tol, (tol, d.max())
 
 
+def test_raychain_fused_silicon_matches_xla():
+    """The fused silicon tail (depth + lateral travel + diffusion
+    inside the ray-chain kernel) reproduces the XLA composition given
+    the same draws — same depth_diffusion_displace function, shared
+    (u, g1, g2)."""
+    from imsim_tpu.optics.wcs_factory import make_wcs_factory
+    from imsim_tpu.ops.raychain import field_to_sensor_pallas
+    from imsim_tpu.photons.optics_ops import (_field_to_sensor_xla,
+                                              make_optics_context)
+    from imsim_tpu.sensor.silicon import (SiliconParams,
+                                          absorption_length_poly,
+                                          depth_diffusion_displace)
+
+    cam = get_camera()
+    fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")
+    octx = make_optics_context(fac, cam["R22_S11"])
+    tel32 = fac.telescope.for_detector("R22_S11")
+    sil = SiliconParams.make()
+    n = 1 << 16
+    rng = np.random.default_rng(13)
+    pu, pv = _pupil(n, seed=13)
+    wl = jnp.asarray(rng.uniform(552, 691, n), jnp.float32)
+    args = (jnp.asarray(rng.uniform(-0.008, 0.008, n), jnp.float32),
+            jnp.asarray(rng.uniform(-0.008, 0.008, n), jnp.float32),
+            jnp.asarray(pu, jnp.float32), jnp.asarray(pv, jnp.float32),
+            wl,
+            jnp.asarray(rng.uniform(0, 30, n), jnp.float32),
+            jnp.ones((n,), jnp.float32))
+    key = jax.random.PRNGKey(7)
+    statics = (float(sil.thickness_um), float(sil.pixel_um),
+               float(sil.diffusion_um))
+    draws = (jnp.asarray(rng.uniform(1e-7, 1, n), jnp.float32),
+             jnp.asarray(rng.normal(0, 1, n), jnp.float32),
+             jnp.asarray(rng.normal(0, 1, n), jnp.float32))
+
+    rx, ry, rdx, rdy, rf = _field_to_sensor_xla(key, tel32, octx, *args)
+    labs = absorption_length_poly(wl)
+    rx, ry, rf = depth_diffusion_displace(
+        draws[0], draws[1], draws[2], rx, ry, rdx, rdy, rf, labs,
+        *statics)
+    ox, oy, _, _, of = field_to_sensor_pallas(
+        key, tel32, octx, *args, interpret=True,
+        silicon_statics=statics, si_draws=draws)
+
+    rl = np.asarray(rf) > 0
+    ol = np.asarray(of) > 0
+    assert rl.mean() > 0.85
+    assert (rl != ol).mean() < 1e-3
+    x, y = np.asarray(rx), np.asarray(ry)
+    on = rl & ol & (x > -64) & (x < 4160) & (y > -64) & (y < 4160)
+    assert on.sum() > 1000
+    for a, b in ((rx, ox), (ry, oy)):
+        d = np.abs(np.asarray(a) - np.asarray(b))[on]
+        assert d.max() <= 0.35, d.max()
+
+
 def test_trace_f32_matches_f64():
     tel = load_telescope(band="r").fiducial
     pu, pv = _pupil(200)
