@@ -8,29 +8,31 @@ published series:
   * precession: Capitaine et al. (2003) IAU 2006 equatorial angles
     zeta/z/theta referred to the GCRS — the constant terms carry the
     ICRS frame bias, so one rotation covers bias+precession;
-  * nutation: the leading terms of the IAU 2000B series (all terms with
-    |A_psi| >= ~6 mas, with their T-rates), Delaunay arguments from the
-    IAU 2000 polynomials; truncation residual ~15 mas RSS in dpsi
-    (~6 mas on the sky);
-  * annual aberration: exact two-body heliocentric Earth velocity
-    (equation-of-center true longitude, eccentricity-exact direction)
-    + Earth-about-EMB (Moon) + Sun-about-barycenter (Jupiter, Saturn)
-    terms, expressed in the ICRF frame; first-order v/c application
-    (second order ~ 2 mas is neglected);
+  * nutation: the COMPLETE IAU 2000B series (all 77 lunisolar terms +
+    the model's fixed planetary offsets), < 1 mas of IAU 2000A over
+    1995-2050; pinned against the SOFA validation value;
+  * Earth rotation: IAU 2006 GMST (ERA + precession-in-RA), pinned
+    against the SOFA era00/gmst06 validation values;
+  * annual aberration: EXACT relativistic application (erfa-ab
+    formula) of a Kepler-ellipse barycentric Earth velocity —
+    heliocentric EMB + inclined lunar ellipse + Jupiter/Saturn
+    elliptical and Uranus/Neptune/Venus/EMB reflex; ~1.2 mas vs the
+    SOFA epv00 validation vector (planetary perturbations of the EMB
+    orbit are the residual);
   * diurnal aberration (0.32 arcsec at the Rubin site) in the
     true-of-date frame;
   * refraction: two-term tan z with the full wavelength/pressure/
     temperature dependence via the Edlen air index (the derivative vs
     wavelength — what DCR cares about — is exact).
 
-Absolute accuracy vs a full ephemeris chain: ~30-50 mas, dominated by
-nutation truncation and the simplified planetary barycenter terms —
-*plus* the Earth-orientation unknowables shared with any offline chain:
-UT1-UTC (|dUT1| < 0.9 s; a pure hour-angle rotation of up to ~13
-arcsec; pass `dut1` if IERS data is available — the reference runs with
-IERS downloads disabled, imsim/utils.py:19-28, so it carries the same
-term) and polar motion (< 0.3 arcsec, not modeled).  The sky truth and
-the WCS written to disk use this same chain, so simulated data remain
+Absolute accuracy vs a full ephemeris chain: <= 3 mas RSS (epoch-mean;
+budget in docs/astrometry.md), dominated by the unmodeled planetary
+perturbations of the EMB orbit (~1.2 mas measured at the epv00 test
+epoch) and refraction-model truncation near the airmass limit.  Polar
+motion and UT1-UTC enter from measured IERS tables when `eop` is given
+(the reference runs with IERS downloads disabled, imsim/utils.py:19-28,
+so it carries those terms as unknowns).  The sky truth and the WCS
+written to disk use this same chain, so simulated data remain
 self-consistent to float64 regardless; see docs/astrometry.md.
 
 All angles radians, times MJD (UTC ~ TT for series arguments; the <70 s
@@ -108,12 +110,38 @@ def _jc(mjd):
 
 
 def gmst(mjd):
-    """Greenwich mean sidereal time [rad] (IAU 1982-style polynomial)."""
+    """Greenwich mean sidereal time [rad] (IAU 1982-style polynomial).
+
+    Kept for callers without a UT1/TT split; Observation uses the
+    IAU 2006 expression gmst06() (ERA + precession-in-RA), which is the
+    one consistent with the IAU 2006 precession used below (the 1982
+    polynomial drifts ~1 mas/yr against it away from J2000)."""
     d = mjd - 51544.5
     t = d / 36525.0
     g = (280.46061837 + 360.98564736629 * d
          + 0.000387933 * t * t - t**3 / 38710000.0)
     return (g % 360.0) * DEG
+
+
+def era(mjd_ut1):
+    """Earth rotation angle [rad] (IAU 2000 defining relation; linear
+    in UT1).  SOFA-validated in tests/test_astrometry.py."""
+    d = mjd_ut1 - 51544.5
+    # UT1 fraction of the *JD* day: MJD flips at 0h, JD at 12h UT
+    f = np.fmod(mjd_ut1, 1.0) + 0.5
+    theta = 2 * np.pi * np.fmod(
+        f + 0.7790572732640 + 0.00273781191135448 * d, 1.0)
+    return theta % (2 * np.pi)
+
+
+def gmst06(mjd_ut1, mjd_tt):
+    """IAU 2006 Greenwich mean sidereal time [rad]: ERA(UT1) plus the
+    precession-of-the-equinox-in-RA polynomial (TT)."""
+    t = _jc(mjd_tt)
+    poly = (0.014506 + 4612.156534 * t + 1.3915817 * t * t
+            - 0.00000044 * t**3 - 0.000029956 * t**4
+            - 0.0000000368 * t**5) * ARCSEC
+    return (era(mjd_ut1) + poly) % (2 * np.pi)
 
 
 def delaunay_args(mjd):
@@ -133,46 +161,132 @@ def delaunay_args(mjd):
     return l, lp, F, D, om
 
 
-# IAU 2000B nutation series, leading terms (|A_psi| >~ 6 mas).
-# Columns: l, l', F, D, Om multipliers; A_psi, A_psi*T [mas, mas/cy];
-# B_eps, B_eps*T.  Truncation residual ~15 mas RSS in dpsi.
+# The COMPLETE IAU 2000B lunisolar nutation series (McCarthy & Luzum
+# 2003): all 77 terms.  Columns: l, l', F, D, Om multipliers, then
+# A_psi, A_psi*T, A_psi_cos ; B_eps, B_eps*T, B_eps_sin in units of
+# 0.1 microarcsec (the published table's units):
+#   dpsi = sum (A + A't) sin(arg) + A'' cos(arg)
+#   deps = sum (B + B't) cos(arg) + B'' sin(arg)
+# plus the model's fixed planetary-bias offsets below.  Residual vs the
+# full IAU 2000A model: < 1 mas over 1995-2050 (the model's published
+# design envelope) — down from ~6 mas on the sky for the previous
+# 20-term truncation.
 _NUT_TERMS = np.array([
-    # l  l'  F  D  Om      A_psi     A_psi_t   B_eps     B_eps_t
-    (0,  0,  0,  0,  1, -17206.4161, -17.4666, 9205.2331,  0.9086),
-    (0,  0,  2, -2,  2,  -1317.0906,  -0.1675,  573.0336, -0.3015),
-    (0,  0,  2,  0,  2,   -227.6413,  -0.0234,   97.8459, -0.0485),
-    (0,  0,  0,  0,  2,    207.4554,   0.0207,  -89.7492,  0.0470),
-    (0,  1,  0,  0,  0,    147.5877,  -0.3633,    7.3871, -0.0184),
-    (0,  1,  2, -2,  2,    -51.6821,   0.1226,   22.4386, -0.0677),
-    (1,  0,  0,  0,  0,     71.1159,   0.0073,   -0.6750,  0.0000),
-    (0,  0,  2,  0,  1,    -38.7298,  -0.0367,   20.0728,  0.0018),
-    (1,  0,  2,  0,  2,    -30.1461,  -0.0036,   12.9025, -0.0063),
-    (0, -1,  2, -2,  2,     21.5829,  -0.0494,   -9.5929,  0.0299),
-    (0,  0,  2, -2,  1,     12.8227,   0.0137,   -6.8982, -0.0009),
-    (-1, 0,  2,  0,  2,     12.3457,   0.0011,   -5.3311,  0.0032),
-    (-1, 0,  0,  2,  0,     15.6994,   0.0010,   -0.1235,  0.0000),
-    (1,  0,  0,  0,  1,      6.3110,   0.0063,   -3.3228,  0.0000),
-    (-1, 0,  0,  0,  1,     -5.7976,  -0.0063,    3.1429,  0.0000),
-    (-1, 0,  2,  2,  2,     -5.9641,  -0.0011,    2.5543, -0.0011),
-    (1,  0,  2,  0,  1,     -5.1613,  -0.0042,    2.6366,  0.0000),
-    (-2, 0,  2,  0,  1,      4.5893,   0.0050,   -2.4236, -0.0010),
-    (0,  0,  0,  2,  0,      6.3384,   0.0011,   -0.1220,  0.0000),
-    (0,  0,  2,  2,  2,     -3.8571,  -0.0001,    1.6452, -0.0011),
+    # l  l'  F   D  Om     A         A'      A''     B         B'     B''
+    (0,  0,  0,  0, 1, -172064161.0, -174666.0, 33386.0, 92052331.0, 9086.0, 15377.0),
+    (0,  0,  2, -2, 2, -13170906.0, -1675.0, -13696.0, 5730336.0, -3015.0, -4587.0),
+    (0,  0,  2,  0, 2, -2276413.0, -234.0, 2796.0, 978459.0, -485.0, 1374.0),
+    (0,  0,  0,  0, 2, 2074554.0, 207.0, -698.0, -897492.0, 470.0, -291.0),
+    (0,  1,  0,  0, 0, 1475877.0, -3633.0, 11817.0, 73871.0, -184.0, -1924.0),
+    (0,  1,  2, -2, 2, -516821.0, 1226.0, -524.0, 224386.0, -677.0, -174.0),
+    (1,  0,  0,  0, 0, 711159.0, 73.0, -872.0, -6750.0, 0.0, 358.0),
+    (0,  0,  2,  0, 1, -387298.0, -367.0, 380.0, 200728.0, 18.0, 318.0),
+    (1,  0,  2,  0, 2, -301461.0, -36.0, 816.0, 129025.0, -63.0, 367.0),
+    (0, -1,  2, -2, 2, 215829.0, -494.0, 111.0, -95929.0, 299.0, 132.0),
+    (0,  0,  2, -2, 1, 128227.0, 137.0, 181.0, -68982.0, -9.0, 39.0),
+    (-1, 0,  2,  0, 2, 123457.0, 11.0, 19.0, -53311.0, 32.0, -4.0),
+    (-1, 0,  0,  2, 0, 156994.0, 10.0, -168.0, -1235.0, 0.0, 82.0),
+    (1,  0,  0,  0, 1, 63110.0, 63.0, 27.0, -33228.0, 0.0, -9.0),
+    (-1, 0,  0,  0, 1, -57976.0, -63.0, -189.0, 31429.0, 0.0, -75.0),
+    (-1, 0,  2,  2, 2, -59641.0, -11.0, 149.0, 25543.0, -11.0, 66.0),
+    (1,  0,  2,  0, 1, -51613.0, -42.0, 129.0, 26366.0, 0.0, 78.0),
+    (-2, 0,  2,  0, 1, 45893.0, 50.0, 31.0, -24236.0, -10.0, 20.0),
+    (0,  0,  0,  2, 0, 63384.0, 11.0, -150.0, -1220.0, 0.0, 29.0),
+    (0,  0,  2,  2, 2, -38571.0, -1.0, 158.0, 16452.0, -11.0, 68.0),
+    (0, -2,  2, -2, 2, 32481.0, 0.0, 0.0, -13870.0, 0.0, 0.0),
+    (-2, 0,  0,  2, 0, -47722.0, 0.0, -18.0, 477.0, 0.0, -25.0),
+    (2,  0,  2,  0, 2, -31046.0, -1.0, 131.0, 13238.0, -11.0, 59.0),
+    (1,  0,  2, -2, 2, 28593.0, 0.0, -1.0, -12338.0, 10.0, -3.0),
+    (-1, 0,  2,  0, 1, 20441.0, 21.0, 10.0, -10758.0, 0.0, -3.0),
+    (2,  0,  0,  0, 0, 29243.0, 0.0, -74.0, -609.0, 0.0, 13.0),
+    (0,  0,  2,  0, 0, 25887.0, 0.0, -66.0, -550.0, 0.0, 11.0),
+    (0,  1,  0,  0, 1, -14053.0, -25.0, 79.0, 8551.0, -2.0, -45.0),
+    (-1, 0,  0,  2, 1, 15164.0, 10.0, 11.0, -8001.0, 0.0, -1.0),
+    (0,  2,  2, -2, 2, -15794.0, 72.0, -16.0, 6850.0, -42.0, -5.0),
+    (0,  0, -2,  2, 0, 21783.0, 0.0, 13.0, -167.0, 0.0, 13.0),
+    (1,  0,  0, -2, 1, -12873.0, -10.0, -37.0, 6953.0, 0.0, -14.0),
+    (0, -1,  0,  0, 1, -12654.0, 11.0, 63.0, 6415.0, 0.0, 26.0),
+    (-1, 0,  2,  2, 1, -10204.0, 0.0, 25.0, 5222.0, 0.0, 15.0),
+    (0,  2,  0,  0, 0, 16707.0, -85.0, -10.0, 168.0, -1.0, 10.0),
+    (1,  0,  2,  2, 2, -7691.0, 0.0, 44.0, 3268.0, 0.0, 19.0),
+    (-2, 0,  2,  0, 0, -11024.0, 0.0, -14.0, 104.0, 0.0, 2.0),
+    (0,  1,  2,  0, 2, 7566.0, -21.0, -11.0, -3250.0, 0.0, -5.0),
+    (0,  0,  2,  2, 1, -6637.0, -11.0, 25.0, 3353.0, 0.0, 14.0),
+    (0, -1,  2,  0, 2, -7141.0, 21.0, 8.0, 3070.0, 0.0, 4.0),
+    (0,  0,  0,  2, 1, -6302.0, -11.0, 2.0, 3272.0, 0.0, 4.0),
+    (1,  0,  2, -2, 1, 5800.0, 10.0, 2.0, -3045.0, 0.0, -1.0),
+    (2,  0,  2, -2, 2, 6443.0, 0.0, -7.0, -2768.0, 0.0, -4.0),
+    (-2, 0,  0,  2, 1, -5774.0, -11.0, -15.0, 3041.0, 0.0, -5.0),
+    (2,  0,  2,  0, 1, -5350.0, 0.0, 21.0, 2695.0, 0.0, 12.0),
+    (0, -1,  2, -2, 1, -4752.0, -11.0, -3.0, 2719.0, 0.0, -3.0),
+    (0,  0,  0, -2, 1, -4940.0, -11.0, -21.0, 2720.0, 0.0, -9.0),
+    (-1, -1, 0,  2, 0, 7350.0, 0.0, -8.0, -51.0, 0.0, 4.0),
+    (2,  0,  0, -2, 1, 4065.0, 0.0, 6.0, -2206.0, 0.0, 1.0),
+    (1,  0,  0,  2, 0, 6579.0, 0.0, -24.0, -199.0, 0.0, 2.0),
+    (0,  1,  2, -2, 1, 3579.0, 0.0, 5.0, -1900.0, 0.0, 1.0),
+    (1, -1,  0,  0, 0, 4725.0, 0.0, -6.0, -41.0, 0.0, 3.0),
+    (-2, 0,  2,  0, 2, -3075.0, 0.0, -2.0, 1313.0, 0.0, -1.0),
+    (3,  0,  2,  0, 2, -2904.0, 0.0, 15.0, 1233.0, 0.0, 7.0),
+    (0, -1,  0,  2, 0, 4348.0, 0.0, -10.0, -81.0, 0.0, 2.0),
+    (1, -1,  2,  0, 2, -2878.0, 0.0, 8.0, 1232.0, 0.0, 4.0),
+    (0,  0,  0,  1, 0, -4230.0, 0.0, 5.0, -20.0, 0.0, -2.0),
+    (-1, -1, 2,  2, 2, -2819.0, 0.0, 7.0, 1207.0, 0.0, 3.0),
+    (-1, 0,  2,  0, 0, -4056.0, 0.0, 5.0, 40.0, 0.0, -2.0),
+    (0, -1,  2,  2, 2, -2647.0, 0.0, 11.0, 1129.0, 0.0, 5.0),
+    (-2, 0,  0,  0, 1, -2294.0, 0.0, -10.0, 1266.0, 0.0, -4.0),
+    (1,  1,  2,  0, 2, 2481.0, 0.0, -7.0, -1062.0, 0.0, -3.0),
+    (2,  0,  0,  0, 1, 2179.0, 0.0, -2.0, -1129.0, 0.0, -2.0),
+    (-1, 1,  0,  1, 0, 3276.0, 0.0, 1.0, -9.0, 0.0, 0.0),
+    (1,  1,  0,  0, 0, -3389.0, 0.0, 5.0, 35.0, 0.0, -2.0),
+    (1,  0,  2,  0, 0, 3339.0, 0.0, -13.0, -107.0, 0.0, 1.0),
+    (-1, 0,  2, -2, 1, -1987.0, 0.0, -6.0, 1073.0, 0.0, -2.0),
+    (1,  0,  0,  0, 2, -1981.0, 0.0, 0.0, 854.0, 0.0, 0.0),
+    (-1, 0,  0,  1, 0, 4026.0, 0.0, -353.0, -553.0, 0.0, -139.0),
+    (0,  0,  2,  1, 2, 1660.0, 0.0, -5.0, -710.0, 0.0, -2.0),
+    (-1, 0,  2,  4, 2, -1521.0, 0.0, 9.0, 647.0, 0.0, 4.0),
+    (-1, 1,  0,  1, 1, 1314.0, 0.0, 0.0, -700.0, 0.0, 0.0),
+    (0, -2,  2, -2, 1, -1283.0, 0.0, 0.0, 672.0, 0.0, 0.0),
+    (1,  0,  2,  2, 1, -1331.0, 0.0, 8.0, 663.0, 0.0, 4.0),
+    (-2, 0,  2,  2, 2, 1383.0, 0.0, -2.0, -594.0, 0.0, -2.0),
+    (-1, 0,  0,  0, 2, 1405.0, 0.0, 4.0, -610.0, 0.0, 2.0),
+    (1,  1,  2, -2, 2, 1290.0, 0.0, 0.0, -556.0, 0.0, 0.0),
 ], dtype=np.float64)
+
+# IAU 2000B fixed offsets standing in for the planetary nutation
+# series [mas] (part of the published model definition).
+_NUT_PLANETARY_DPSI_MAS = -0.135
+_NUT_PLANETARY_DEPS_MAS = 0.388
+
+
+def _nut00b_args(t):
+    """Fundamental lunisolar arguments as the IAU 2000B model defines
+    them (linear-only polynomials, arcsec mod 1296000) [rad]."""
+    turnas = 1296000.0
+    el = np.fmod(485868.249036 + 1717915923.2178 * t, turnas) * ARCSEC
+    elp = np.fmod(1287104.79305 + 129596581.0481 * t, turnas) * ARCSEC
+    f = np.fmod(335779.526232 + 1739527262.8478 * t, turnas) * ARCSEC
+    d = np.fmod(1072260.70369 + 1602961601.2090 * t, turnas) * ARCSEC
+    om = np.fmod(450160.398036 - 6962890.5431 * t, turnas) * ARCSEC
+    return np.array([el, elp, f, d, om])
 
 
 def nutation(mjd):
-    """IAU 2000B leading-terms nutation: (dpsi, deps) [rad]."""
+    """Complete IAU 2000B nutation: (dpsi, deps) [rad].
+
+    The full published 77-term lunisolar series + the model's fixed
+    planetary offsets; < 1 mas of IAU 2000A across 1995-2050.  Pinned
+    against the SOFA validation value in tests/test_astrometry.py."""
     t = _jc(mjd)
-    args = np.array(delaunay_args(mjd))
-    mult = _NUT_TERMS[:, :5]
-    phase = mult @ args
-    dpsi = np.sum((_NUT_TERMS[:, 5] + _NUT_TERMS[:, 6] * t)
-                  * np.sin(phase))
-    deps = np.sum((_NUT_TERMS[:, 7] + _NUT_TERMS[:, 8] * t)
-                  * np.cos(phase))
+    phase = _NUT_TERMS[:, :5] @ _nut00b_args(t)
+    sp, cp = np.sin(phase), np.cos(phase)
+    u = 1e-7 * ARCSEC          # table units: 0.1 microarcsec
+    dpsi = np.sum((_NUT_TERMS[:, 5] + _NUT_TERMS[:, 6] * t) * sp
+                  + _NUT_TERMS[:, 7] * cp) * u
+    deps = np.sum((_NUT_TERMS[:, 8] + _NUT_TERMS[:, 9] * t) * cp
+                  + _NUT_TERMS[:, 10] * sp) * u
     MAS = ARCSEC / 1000.0
-    return dpsi * MAS, deps * MAS
+    return (dpsi + _NUT_PLANETARY_DPSI_MAS * MAS,
+            deps + _NUT_PLANETARY_DEPS_MAS * MAS)
 
 
 def mean_obliquity(mjd):
@@ -229,59 +343,120 @@ def gast(mjd):
     return gmst(mjd) + dpsi * np.cos(mean_obliquity(mjd))
 
 
+_C_LIGHT = 2.99792458e8
+
+
+def _ellipse_vel(lam_mean, ecc, peri_lon, speed, node=0.0, incl=0.0):
+    """Ecliptic velocity/c of a Kepler ellipse: exact-in-e direction via
+    the true longitude (equation of center to e^3), optional orbital
+    inclination about the ascending node.  `speed` = n*a [m/s]."""
+    M = lam_mean - peri_lon
+    C = ((2 * ecc - 0.25 * ecc**3) * np.sin(M)
+         + 1.25 * ecc * ecc * np.sin(2 * M)
+         + (13.0 / 12.0) * ecc**3 * np.sin(3 * M))
+    lam_t = lam_mean + C
+    vfac = speed / np.sqrt(1 - ecc * ecc) / _C_LIGHT
+    if incl == 0.0:
+        return np.array([-vfac * (np.sin(lam_t) + ecc * np.sin(peri_lon)),
+                         vfac * (np.cos(lam_t) + ecc * np.cos(peri_lon)),
+                         0.0])
+    # in-plane components with x' at the ascending node, then rotate
+    # R_z(node) @ R_x(incl)
+    ut, uw = lam_t - node, peri_lon - node
+    vpx = -vfac * (np.sin(ut) + ecc * np.sin(uw))
+    vpy = vfac * (np.cos(ut) + ecc * np.cos(uw))
+    ci, si = np.cos(incl), np.sin(incl)
+    cn, sn = np.cos(node), np.sin(node)
+    return np.array([vpx * cn - vpy * ci * sn,
+                     vpx * sn + vpy * ci * cn,
+                     vpy * si])
+
+
 def earth_velocity(mjd):
     """Earth barycentric velocity / c in the *equatorial-of-date* frame.
 
-    Three components (erfa epv00 analog, simplified):
-      1. heliocentric EMB velocity: exact two-body ellipse — true
-         longitude from the equation of center, direction carries the
-         eccentricity term via the longitude of perihelion (exact in e
-         for a Kepler orbit; Meeus ch. 25 elements);
-      2. Earth about the Earth-Moon barycenter (12.4 m/s, ~8.6 mas);
+    Kepler-ellipse sum (erfa epv00 analog):
+      1. heliocentric EMB: exact two-body ellipse, equation of center
+         to e^3 (Meeus ch. 25 elements);
+      2. Earth about the Earth-Moon barycenter (12.45 m/s, ~8.6 mas):
+         lunar ellipse with eccentricity AND the 5.145 deg inclination
+         about the node (Delaunay Om);
       3. Sun about the solar-system barycenter: Jupiter and Saturn
-         reflex terms (12.5 + 2.8 m/s, ~10 mas combined).
-    Residual vs a full ephemeris ~3 mas (lunar eccentricity, Uranus/
-    Neptune/Venus reflex, planetary perturbations of the EMB orbit).
+         elliptical reflex (inclined), Uranus/Neptune/Venus circular
+         reflex, EMB's own reflex.
+    Residual vs a full ephemeris: ~2 m/s RSS (~1.4 mas of aberration) —
+    planetary perturbations of the EMB orbit (~1.5 m/s), lunar
+    evection/variation (~0.35 m/s).  Pinned against the SOFA epv00
+    validation vector in tests/test_astrometry.py.
 
     Rotate by icrf2tod.T for the ICRF components used in aberration.
     """
     t = _jc(mjd)
-    C_LIGHT = 2.99792458e8
 
     # --- heliocentric EMB: exact ellipse -----------------------------
     L = (280.46646 + 36000.76983 * t) * DEG       # sun mean longitude
     M = (357.52911 + 35999.05029 * t) * DEG       # sun mean anomaly
     e = 0.016708634 - 0.000042037 * t
-    # equation of center -> true longitude of the sun; Earth = sun+180
-    C = ((1.914602 - 0.004817 * t) * np.sin(M)
-         + (0.019993 - 0.000101 * t) * np.sin(2 * M)
-         + 0.000289 * np.sin(3 * M)) * DEG
-    lam_e = L + C + np.pi                          # Earth true longitude
-    pi_e = (L - M) * 1.0 + np.pi                   # Earth perihelion lon
     kgauss = 0.01720209895                         # rad/day (a = 1 AU)
     AU_DAY = 1.495978707e11 / 86400.0
-    vfac = kgauss / np.sqrt(1 - e * e) * AU_DAY / C_LIGHT
-    vx = -vfac * (np.sin(lam_e) + e * np.sin(pi_e))
-    vy = vfac * (np.cos(lam_e) + e * np.cos(pi_e))
+    v_emb = _ellipse_vel(L + np.pi, e, L - M + np.pi, kgauss * AU_DAY)
 
     # --- Earth about EMB (opposite the Moon's motion) ----------------
-    lam_m = (218.3165 + 481267.8813 * t) * DEG     # moon mean longitude
-    v_moon = 1.023e3 / C_LIGHT                     # mean lunar speed / c
-    f_m = 0.0121505856                             # m_moon/(m_e + m_m)
-    vx += f_m * v_moon * np.sin(lam_m)
-    vy += -f_m * v_moon * np.cos(lam_m)
+    lam_m = (218.3164477 + 481267.88123421 * t) * DEG
+    l_m, _, _, _, om_m = delaunay_args(mjd)        # lunar mean anomaly,
+    f_m = 0.0121505856                             # node; m_m/(m_e+m_m)
+    v_moon = 2 * np.pi * 384399e3 / (27.321582 * 86400.0)   # n*a
+    v_emb = v_emb - f_m * _ellipse_vel(
+        lam_m, 0.0549, lam_m - l_m, v_moon,
+        node=om_m, incl=5.145 * DEG)
 
-    # --- Sun about the barycenter (Jupiter + Saturn reflex) ----------
-    for lam0, rate, v_p, mratio in (
-            (34.351484, 3034.9056746, 13.0697e3, 1.0 / 1047.3486),
-            (50.077471, 1222.1137943, 9.6724e3, 1.0 / 3497.898)):
-        lam = (lam0 + rate * t) * DEG
-        vx += mratio * (v_p / C_LIGHT) * np.sin(lam)
-        vy += -mratio * (v_p / C_LIGHT) * np.cos(lam)
+    # --- Sun about the barycenter -------------------------------------
+    # giant-planet reflex: v_sun = -sum m_p/m_sun * v_p; Jupiter and
+    # Saturn as inclined ellipses, Uranus/Neptune/Venus circular, plus
+    # the EMB's own reflex.  (elements: Meeus table 31.a, J2000 mean)
+    v_sun = np.zeros(3)
+    for lam0, rate, ecc, pw, node, incl, speed, mratio in (
+            (34.351484, 3034.9056746, 0.04849485, 14.331309,
+             100.464441, 1.303270, 13064.0, 1.0 / 1047.3486),
+            (50.077471, 1222.1137943, 0.05550862, 93.056787,
+             113.665524, 2.488878, 9660.0, 1.0 / 3497.898),
+            (314.055005, 428.4669983, 0.0, 0.0, 0.0, 0.0,
+             6813.0, 1.0 / 22902.98),
+            (304.348665, 218.4862002, 0.0, 0.0, 0.0, 0.0,
+             5443.0, 1.0 / 19412.24),
+            (181.979801, 58517.8156760, 0.0, 0.0, 0.0, 0.0,
+             35020.0, 1.0 / 408523.71)):
+        v_sun = v_sun - mratio * _ellipse_vel(
+            (lam0 + rate * t) * DEG, ecc, pw * DEG, speed,
+            node=node * DEG, incl=incl * DEG)
+    v_sun = v_sun - (1.0 / 328900.56) * v_emb       # EMB reflex
 
+    vx, vy, vz = v_emb + v_sun
     # ecliptic-of-date -> equatorial-of-date
     eps = mean_obliquity(mjd)
-    return np.array([vx, vy * np.cos(eps), vy * np.sin(eps)])
+    ce, se = np.cos(eps), np.sin(eps)
+    return np.array([vx, vy * ce - vz * se, vy * se + vz * ce])
+
+
+def aberrate(v, vel):
+    """Exact special-relativistic aberration: natural direction unit
+    vectors v (..., 3) seen by an observer with velocity `vel` (units
+    of c).  The erfa `ab` formula without the light-deflection term;
+    exact to all orders in |vel| (second order ~1 mas matters here)."""
+    bm1 = np.sqrt(1.0 - np.dot(vel, vel))
+    pdv = v @ vel
+    w = (1.0 + pdv / (1.0 + bm1)) / (1.0 + pdv)
+    return bm1 / (1.0 + pdv)[..., None] * v + w[..., None] * vel
+
+
+def unaberrate(v, vel, niter=3):
+    """Inverse of aberrate (fixed point; converges to f64 in 3 steps
+    since |vel| ~ 1e-4)."""
+    p = v
+    for _ in range(niter):
+        p = v - (aberrate(p, vel) - p)
+        p = p / np.linalg.norm(p, axis=-1, keepdims=True)
+    return p
 
 
 def refraction_coefs(wavelength_nm, pressure_kpa=RUBIN_PRESSURE_KPA,
@@ -388,9 +563,10 @@ class Observation:
         # ICRF vectors; a frame mismatch here costs |v/c| * frame angle
         # ~ 0.1 arcsec)
         self.vel = self.icrf2tod.T @ earth_velocity(mjd_tt)
-        # local apparent sidereal time from UT1 (equation of the
-        # equinoxes evaluated at TT)
-        self.last = (gmst(self.mjd_ut1)
+        # local apparent sidereal time from UT1: IAU 2006 GMST (ERA +
+        # precession-in-RA, consistent with the precession model above)
+        # + equation of the equinoxes evaluated at TT
+        self.last = (gmst06(self.mjd_ut1, mjd_tt)
                      + nutation(mjd_tt)[0] * np.cos(mean_obliquity(mjd_tt))
                      + lon)
         self.k1, self.k2 = refraction_coefs(wavelength_nm, pressure_kpa,
@@ -412,9 +588,8 @@ class Observation:
     # --- ICRF -> observed az/alt ----------------------------------------
     def icrf_to_observed(self, ra, dec):
         v = _sph_to_vec(ra, dec)
-        # annual aberration (first order; v expressed in ICRF)
-        v = v + self.vel
-        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        # annual aberration (exact relativistic; v expressed in ICRF)
+        v = aberrate(v, self.vel)
         # bias-precession-nutation
         v = v @ self.icrf2tod.T
         # diurnal aberration (0.32 arcsec at the site), TOD frame
@@ -506,8 +681,7 @@ class Observation:
         v = v - self._diurnal_vec()
         v /= np.linalg.norm(v, axis=-1, keepdims=True)
         v = v @ self.icrf2tod            # inverse rotation (orthogonal)
-        v = v - self.vel
-        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        v = unaberrate(v, self.vel)
         return _vec_to_sph(v)
 
     # --- parallactic angle at the boresight ------------------------------
