@@ -103,3 +103,93 @@ def test_wavefront_readout_8amp(tmp_path):
     data = amps[:, :2000, 3:3 + 509]
     oscan = amps[:, 2000 + 10:, 3:3 + 509]
     assert abs(np.median(data) - np.median(oscan) - 100.0 / 1.68) < 8.0
+
+
+def test_wavefront_sw_visit_end_to_end_amp_file(tmp_path):
+    """Drive a corner-raft SW detector through the FULL runner ->
+    readout -> raw amp-file path (the 8-amp single-row geometry differs
+    from science CCDs; imsim/camera.py:151-170 + readout.py:413-477),
+    then re-read the written file and reassemble the eimage from it."""
+    from imsim_tpu.config.runner import run_visit
+    from imsim_tpu.electronics.readout import VENDOR_SPECS
+    from imsim_tpu.io.fits import read_fits
+    from imsim_tpu.optics.wcs_factory import make_wcs_factory
+
+    # place one bright star at the SW0 sensor center
+    fac = make_wcs_factory(30 * DEG, -20 * DEG, mjd=60674.2, band="r")
+    ccd0 = get_camera("LsstCam")["R00_SW0"]
+    wcs = fac.get_wcs(ccd0)
+    ra, dec = wcs.xy_to_radec(np.array([(ccd0.bounds.width - 1) / 2]),
+                              np.array([(ccd0.bounds.height - 1) / 2]))
+    d = tmp_path / "in"
+    (d / "seds" / "flatSED").mkdir(parents=True)
+    w = np.linspace(300, 1150, 120)
+    np.savetxt(d / "seds" / "flatSED" / "sed_flat.txt",
+               np.column_stack([w, np.ones_like(w)]))
+    lines = ["rightascension 30.0", "declination -20.0", "mjd 60674.2",
+             "filter 2", "seeing 0.7", "vistime 30.0", "rottelpos 0.0",
+             "obshistid 4242", "altitude 60.0",
+             f"object 0 {np.degrees(ra[0]):.8f} {np.degrees(dec[0]):.8f}"
+             " 18.0 flatSED/sed_flat.txt 0 0 0 0 0 0 point none none"]
+    (d / "cat.txt").write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "out")
+    results = run_visit(
+        {"template": "imsim-config-instcat"},
+        overrides=[
+            f"input.instance_catalog.file_name={d}/cat.txt",
+            f"input.instance_catalog.sed_dir={d}/seds",
+            "input.atm_psf.screen_size=102.4",
+            "input.atm_psf.screen_scale=0.8",
+            f"output.dir={out}",
+            "output.camera=LsstCam",
+            "output.only_dets=[R00_SW0]",
+            "output.file_name=eimage_{det_name}.fits",
+            "output.readout.file_name=amp_{det_name}.fits",
+            "output.truth.enabled=false",
+            "output.cosmic_ray_rate=0.0",
+            "image.sky_level=100.0",
+            "image.batch_size=65536",
+            "image.nbatch=1",
+        ])
+    assert len(results) == 1
+    res = results[0]
+    eimage = np.asarray(res["eimage"])
+    # half-height ITL wavefront sensor, star flux on top of the sky
+    assert eimage.shape == (2000, 4072)
+    # sky_level is per arcsec^2: 100 * (0.2")^2 ~ 4 e-/px
+    med = np.median(eimage)
+    assert 1.0 < med < 20.0, med
+    # the mag-18 star renders as a ~120 px donut at the sensor center;
+    # its flux must stand above the sky in a central box
+    box = eimage[1000 - 150:1000 + 150, 2036 - 150:2036 + 150]
+    excess = box.sum() - med * box.size
+    assert excess > 1e4, excess
+    hdus = read_fits(f"{out}/amp_R00_SW0.fits")
+    phdr = hdus[0][0]
+    assert phdr["RAFTBAY"] == "R00" and phdr["CCDSLOT"] == "SW0"
+    assert len(hdus) == 9                       # primary + 8 amps
+    ccd = res["ccd"]
+    assert len(ccd.amp_names) == 8
+    spec = VENDOR_SPECS[ccd.vendor]
+    pre, anx, any_ = spec["prescan"], spec["amp_nx"], spec["amp_ny"]
+    recon = np.zeros_like(eimage, np.float64)
+    for k, aname in enumerate(ccd.amp_names):
+        hdr, data = hdus[1 + k]
+        assert hdr["EXTNAME"] == f"Segment{aname[1:]}"
+        assert data.shape == (2000 + 48, pre + 509 + 64)
+        for kw in ("DATASEC", "DETSEC", "CRPIX1", "GAIN"):
+            assert kw in hdr, (aname, kw)
+        amp = ccd[aname]
+        sec = np.asarray(data[:any_, pre:pre + anx], np.float64)
+        sec = (sec - amp.bias_level) * amp.gain
+        if amp.raw_flip_x:
+            sec = sec[:, ::-1]
+        if amp.raw_flip_y:
+            sec = sec[::-1, :]
+        b = amp.bounds
+        recon[b.ymin:b.ymax + 1, b.xmin:b.xmax + 1] = sec
+    # reassembly matches the rendered eimage up to dark/noise/CTE
+    diff = recon - eimage
+    assert abs(np.median(diff)) < 5.0, np.median(diff)
+    assert np.std(diff) < 25.0, np.std(diff)
