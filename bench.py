@@ -212,6 +212,12 @@ def main(compile_only=False):
     cam = get_camera("LsstCamSim")
     ccd = cam["R22_S11"]
     host = build_synthetic_host(fac, ccd)
+    # object families present (mirrors the runner's automatic
+    # derivation): the intrinsic sampler drops absent branches
+    from imsim_tpu.image.scene import COL_TYPE
+    FAMILIES = tuple(sorted(set(np.asarray(
+        host.scene.params[:host.n_objects, COL_TYPE]).astype(int)
+        .tolist())))
 
     octx = make_optics_context(fac, ccd)
     tel32 = fac.telescope.for_detector("R22_S11")
@@ -251,6 +257,11 @@ def main(compile_only=False):
     total_photons = float(total)   # pooled photons (FFT stars excluded)
     PE = PAIR * SHARE
     N = -(-(-(-total // NB)) // PE) * PE  # ceil(total/NB), layout-padded
+    # align to the Pallas slot-scan tiling (weight-0 padding; without
+    # it materialize_rows_T silently falls back to the XLA cumsum —
+    # measured ~180 ms/batch at this scale, r5)
+    from imsim_tpu.ops.scanrows import align_batch
+    N = align_batch(N, PAIR, SHARE)
     cum = np.zeros(host.scene.n, np.int32)
     cum[:host.n_objects] = np.cumsum(counts)
     cum[host.n_objects:] = cum[host.n_objects - 1]
@@ -300,7 +311,7 @@ def main(compile_only=False):
                             row=row, pupil_pairing=PAIR,
                             screen_share=SHARE,
                             silicon=sil if fuse else None,
-                            si_key=si_key)
+                            si_key=si_key, families=FAMILIES)
             return accumulate_silicon(si_key, ph, img, sil, nsub=4,
                                       tr_field=trf, pre_displaced=fuse)
 

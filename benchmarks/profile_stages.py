@@ -222,6 +222,33 @@ def main():
         return (jnp.sum(ph.x) + jnp.sum(ph.y) + jnp.sum(ph.flux)
                 + jnp.sum(ph.dxdz))
 
+    def s_fused_presensor(key, omap, cum, scene, screens, sk_poly,
+                          silicon, tel32, octx):
+        # pre-sensor chain with the silicon tail FUSED into the Pallas
+        # ray chain (the production formulation bench.py composes)
+        obj_idx, w, row = rows_of(key, omap, cum, scene)
+        ph = shoot_full(key, scene, obj_idx, w, tel32, octx,
+                        screens=screens, sk_table=sk_poly, exptime=30.0,
+                        row=row, pupil_pairing=PAIR, screen_share=SHARE,
+                        silicon=silicon,
+                        si_key=jax.random.fold_in(key, 7))
+        return jnp.sum(ph.x) + jnp.sum(ph.y) + jnp.sum(ph.flux)
+
+    def s_prodbatch(key, omap, cum, scene, screens, sk_poly, silicon,
+                    tel32, octx, image, trf):
+        # EXACT bench.py batch body: fused shoot_full + pre-displaced
+        # nsub=4 silicon accumulation with the folded tree-ring field.
+        # Composed-minus-stages = overlap/composition loss.
+        obj_idx, w, row = rows_of(key, omap, cum, scene)
+        si_key = jax.random.fold_in(key, 7)
+        ph = shoot_full(key, scene, obj_idx, w, tel32, octx,
+                        screens=screens, sk_table=sk_poly, exptime=30.0,
+                        row=row, pupil_pairing=PAIR, screen_share=SHARE,
+                        silicon=silicon, si_key=si_key)
+        img = accumulate_silicon(si_key, ph, image, silicon, nsub=4,
+                                 tr_field=trf, pre_displaced=True)
+        return img[2048, 2048]
+
     image = jnp.zeros((ny, nx), jnp.float32)
     stages = [
         ("rows+objmap+wl", loop(s_rows), big),
@@ -238,6 +265,10 @@ def main():
                              tree_ring_field(silicon, image.shape)))),
         ("shoot_full composed", loop(s_shootfull), big),
         ("shoot_full strat-share", loop(s_shootfull_strat), big),
+        ("shoot_full fused-silicon", loop(s_fused_presensor), big),
+        ("production-batch (bench body)", loop(s_prodbatch),
+         big + (image, tuple(jnp.asarray(a) for a in
+                             tree_ring_field(silicon, image.shape)))),
     ]
     print(f"N = {N}, PAIR = {PAIR}")
     for name, fn, args in stages:

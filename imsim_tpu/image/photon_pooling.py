@@ -37,7 +37,7 @@ from ..sensor.simple import accumulate
 from ..utils.rng import stream
 from . import fft_render as F
 from . import render
-from .scene import SceneHost
+from .scene import COL_TYPE, SceneHost
 
 FFT, PHOT, FAINT = 0, 1, 2
 
@@ -414,6 +414,12 @@ def pooled_plan(host: SceneHost, modes, cfg: PoolingConfig):
     nb = pick_nbatch(total, cfg) if total > 0 else 1
     batch_size = int(np.ceil(max(total, 1) / nb))
     batch_size = -(-batch_size // (pair * share)) * (pair * share)
+    # Pallas slot-scan alignment: without it ceil(total/nb) almost
+    # never tiles into whole (pe, blkq) lane blocks and the row
+    # materialization silently falls back to the XLA cumsum
+    # (~180 ms/batch slower at production scale); padding is weight-0
+    from ..ops.scanrows import align_batch
+    batch_size = align_batch(batch_size, pair, share)
     cum = np.zeros(host.scene.n, np.int32)
     if host.n_objects:
         cum[:host.n_objects] = np.cumsum(counts)
@@ -495,6 +501,12 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
     if silicon is not None and silicon.tr_active:
         from ..sensor.silicon import tree_ring_field
         tr_field = tree_ring_field(silicon, (cfg.ysize, cfg.xsize))
+    # object families actually present (host-known): the intrinsic
+    # sampler drops absent families' branches from the compiled batch
+    # program (a star/Sersic-only scene skips knot/streak trig + RNG)
+    families = tuple(sorted(set(np.asarray(
+        host.scene.params[:host.n_objects, COL_TYPE]).astype(int)
+        .tolist())))
     for b in range(start_batch, nb):
         key = stream(seed, "photons", b)
         image, batch_realized = _pooled_batch_step(
@@ -505,7 +517,8 @@ def render_ccd_pooled(seed: int, host: SceneHost, cfg: PoolingConfig,
             cfg.exptime, cfg.pixel_scale, cfg.nsub, track_realized,
             pair, share, cfg.chromatic_exponent, cfg.wl_ref,
             cfg.apply_dcr, cfg.apply_diffraction,
-            cfg.diffraction_field_rotation, tr_field=tr_field)
+            cfg.diffraction_field_rotation, tr_field=tr_field,
+            families=families)
         if batch_realized is not None:
             realized += np.asarray(batch_realized, np.float64)
         if checkpointer is not None and \
@@ -527,7 +540,8 @@ _build_obj_map_jit = jax.jit(build_obj_map,
                                    "track_realized", "pair", "share",
                                    "chromatic_exponent", "wl_ref",
                                    "apply_dcr", "apply_diffraction",
-                                   "diffraction_field_rotation"))
+                                   "diffraction_field_rotation",
+                                   "families"))
 def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
                        batch_size, tel, ctx, screens, sk_table,
                        kolm_table, gauss_sigma, silicon, image,
@@ -539,7 +553,7 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
                        apply_dcr: bool = True,
                        apply_diffraction: bool = True,
                        diffraction_field_rotation: bool = True,
-                       tr_field=None):
+                       tr_field=None, families=None):
     obj_idx, weight = batch_from_obj_map(obj_map, total, b, nb,
                                          batch_size, pair, share)
     # per-photon params via scatter+cumsum instead of a row-gather;
@@ -567,12 +581,14 @@ def _pooled_batch_step(key, si_key, scene, obj_map, cum, total, b, nb,
             chromatic_exponent=chromatic_exponent, wl_ref=wl_ref,
             apply_dcr=apply_dcr, apply_diffraction=apply_diffraction,
             diffraction_field_rotation=diffraction_field_rotation,
-            silicon=silicon if fuse_si else None, si_key=si_key)
+            silicon=silicon if fuse_si else None, si_key=si_key,
+            families=families)
     else:
         photons = render.shoot(
             key, scene, obj_idx, weight,
             {"kolmogorov": kolm_table, "gauss_sigma": gauss_sigma},
-            exptime=exptime, pixel_scale=pixel_scale, row=row)
+            exptime=exptime, pixel_scale=pixel_scale, row=row,
+            families=families)
     realized = None
     if track_realized:
         # per-object incident flux (photon_pooling.py:472-507 truth

@@ -72,20 +72,31 @@ def _sample_sersic_flat(key, srs_n, hlr, dtype=jnp.float32):
 
 
 def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
-                     aux_cloud=None):
+                     aux_cloud=None, families=None):
     """Sample profile offsets (in pixels) for a pooled photon batch.
 
     row: (N_COLS+, N) per-photon object parameters, photon-minor
     (photon_pooling.materialize_rows_T orientation: each parameter is
     a contiguous full-lane slice).
     aux_cloud: (M, CLOUD_K, 2) FITS-stamp point clouds (arcsec).
+    families: optional static collection of the object-type codes
+    PRESENT in the scene (host-known at trace time) — absent families'
+    sampling branches are dropped from the compiled program (the pooled
+    batch is VPU-compute-bound here; a star/Sersic-only scene skips the
+    knot/streak trig + RNG entirely).  None keeps every branch.
 
-    Computes each family's sample and selects by object type — the Sersic
-    path is the only expensive one and dominates anyway; points are free.
-    Knot positions are deterministic per (object, knot) so every photon
-    batch sees the same knot constellation (galsim.RandomKnots semantics).
+    Computes each present family's sample and selects by object type —
+    the Sersic path is the only expensive one and dominates anyway;
+    points are free.  Knot positions are deterministic per (object,
+    knot) so every photon batch sees the same knot constellation
+    (galsim.RandomKnots semantics).
     """
     n = obj_idx.shape[0]
+    has = (lambda c: True) if families is None else \
+        (lambda c: c in families)
+    if not (has(SERSIC) or has(KNOTS) or has(STREAK) or has(FITSIMAGE)):
+        z = jnp.zeros((n,), row.dtype)           # pure star field
+        return z, z
     k_srs, k_pick, k_box = jax.random.split(key, 3)
 
     t = row[COL_TYPE].astype(jnp.int32)
@@ -94,45 +105,46 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
     hlr_as = row[COL_P0]
     srs_n = row[COL_P1]
 
-    # --- Sersic (knots use an exponential disk: n = 1) -------------------
-    srs_n_eff = jnp.where(t == KNOTS, 1.0, srs_n)
-    sx, sy = _sample_sersic_flat(k_srs, srs_n_eff, hlr_as)
+    dx = dy = jnp.zeros((n,), row.dtype)
+    if has(SERSIC) or has(KNOTS):
+        # --- Sersic (knots use an exponential disk: n = 1) ---------------
+        srs_n_eff = jnp.where(t == KNOTS, 1.0, srs_n) if has(KNOTS) \
+            else srs_n
+        sx, sy = _sample_sersic_flat(k_srs, srs_n_eff, hlr_as)
+        dx = jnp.where(t == SERSIC, sx, 0.0)
+        dy = jnp.where(t == SERSIC, sy, 0.0)
 
-    # --- Knots: deterministic per-(obj, knot) position -------------------
-    npoints = jnp.maximum(srs_n, 1.0).astype(jnp.int32)  # p1 = npoints
-    pick = (jax.random.uniform(k_pick, (n,))
-            * npoints.astype(jnp.float32)).astype(jnp.int32)
-    knot_seed = obj_idx.astype(jnp.uint32) * jnp.uint32(2654435761) \
-        + pick.astype(jnp.uint32) * jnp.uint32(40503)
-    u1 = (knot_seed * jnp.uint32(1664525) + jnp.uint32(1013904223))
-    u2 = (u1 * jnp.uint32(1664525) + jnp.uint32(1013904223))
-    fu1 = u1.astype(jnp.float32) * (1.0 / 4294967296.0)
-    fu2 = u2.astype(jnp.float32) * (1.0 / 4294967296.0)
-    # exponential-disk radius via the gather-free PolyCDF (random
-    # gathers cost ~8.6 ns/photon on TPU; the Chebyshev eval is free)
-    kr = P.exp_disk_poly()(fu1) * hlr_as
-    kth = fu2 * (2 * jnp.pi)
-    kx, ky = kr * jnp.cos(kth), kr * jnp.sin(kth)
+    if has(KNOTS):
+        # --- Knots: deterministic per-(obj, knot) position ---------------
+        npoints = jnp.maximum(srs_n, 1.0).astype(jnp.int32)  # p1=npoints
+        pick = (jax.random.uniform(k_pick, (n,))
+                * npoints.astype(jnp.float32)).astype(jnp.int32)
+        knot_seed = obj_idx.astype(jnp.uint32) * jnp.uint32(2654435761) \
+            + pick.astype(jnp.uint32) * jnp.uint32(40503)
+        u1 = (knot_seed * jnp.uint32(1664525) + jnp.uint32(1013904223))
+        u2 = (u1 * jnp.uint32(1664525) + jnp.uint32(1013904223))
+        fu1 = u1.astype(jnp.float32) * (1.0 / 4294967296.0)
+        fu2 = u2.astype(jnp.float32) * (1.0 / 4294967296.0)
+        # exponential-disk radius via the gather-free PolyCDF (random
+        # gathers cost ~8.6 ns/photon on TPU; the Chebyshev eval is free)
+        kr = P.exp_disk_poly()(fu1) * hlr_as
+        kth = fu2 * (2 * jnp.pi)
+        dx = jnp.where(t == KNOTS, kr * jnp.cos(kth), dx)
+        dy = jnp.where(t == KNOTS, kr * jnp.sin(kth), dy)
 
-    # --- Streak: uniform box length x width rotated by pa ----------------
-    ub = jax.random.uniform(k_box, (n, 2)) - 0.5
-    blen = row[COL_P0]
-    bwid = row[COL_P1]
-    bpa = row[COL_P2]
-    bx0 = ub[:, 0] * blen
-    by0 = ub[:, 1] * bwid
-    bx = bx0 * jnp.cos(bpa) - by0 * jnp.sin(bpa)
-    by = bx0 * jnp.sin(bpa) + by0 * jnp.cos(bpa)
-
-    dx = jnp.where(t == SERSIC, sx, 0.0)
-    dy = jnp.where(t == SERSIC, sy, 0.0)
-    dx = jnp.where(t == KNOTS, kx, dx)
-    dy = jnp.where(t == KNOTS, ky, dy)
-    dx = jnp.where(t == STREAK, bx, dx)
-    dy = jnp.where(t == STREAK, by, dy)
+    if has(STREAK):
+        # --- Streak: uniform box length x width rotated by pa ------------
+        ub = jax.random.uniform(k_box, (n, 2)) - 0.5
+        bx0 = ub[:, 0] * row[COL_P0]
+        by0 = ub[:, 1] * row[COL_P1]
+        bpa = row[COL_P2]
+        dx = jnp.where(t == STREAK,
+                       bx0 * jnp.cos(bpa) - by0 * jnp.sin(bpa), dx)
+        dy = jnp.where(t == STREAK,
+                       bx0 * jnp.sin(bpa) + by0 * jnp.cos(bpa), dy)
 
     # --- FITS postage stamps: gather from the per-object point cloud ----
-    if aux_cloud is not None and aux_cloud.shape[0] > 1:
+    if has(FITSIMAGE) and aux_cloud is not None and aux_cloud.shape[0] > 1:
         Kc = aux_cloud.shape[1]
         cloud_row = row[COL_P2].astype(jnp.int32)
         pick_c = (jax.random.uniform(k_pick, (n,))
@@ -144,11 +156,11 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
         dy = jnp.where(t == FITSIMAGE, g[:, 1], dy)
 
     # intrinsic ellipticity (sersic/knots only; FITS clouds carry theirs)
-    is_ell = (t == SERSIC) | (t == KNOTS)
+    is_ell = (t == SERSIC) | (t == KNOTS) if has(KNOTS) else (t == SERSIC)
     ex, ey = P.apply_ellipse(dx, dy, jnp.where(is_ell, q, 1.0),
                              jnp.where(is_ell, beta, 0.0))
     # lensing applies to every extended type
-    is_lensed = is_ell | (t == FITSIMAGE)
+    is_lensed = (is_ell | (t == FITSIMAGE)) if has(FITSIMAGE) else is_ell
     gx, gy = P.apply_shear_mag(ex, ey, row[COL_G1], row[COL_G2],
                                row[COL_MU])
     dx = jnp.where(is_lensed, gx, ex)
@@ -159,7 +171,8 @@ def sample_intrinsic(key, row, obj_idx, pixel_scale: float = 0.2,
 def shoot(key, scene: DeviceScene, obj_idx: jax.Array, weight: jax.Array,
           psf_tables: dict, exptime: float = 30.0,
           pupil_radius: float = 4.18, pupil_obscuration: float = 0.612,
-          pixel_scale: float = 0.2, row: jax.Array = None) -> PhotonBatch:
+          pixel_scale: float = 0.2, row: jax.Array = None,
+          families=None) -> PhotonBatch:
     """Produce a fully-populated photon batch for one pooled batch.
 
     psf_tables: {"kolmogorov": UniformTable (arcsec), "gauss_sigma": float}
@@ -176,7 +189,8 @@ def shoot(key, scene: DeviceScene, obj_idx: jax.Array, weight: jax.Array,
 
     # intrinsic + lensing offsets
     dx, dy = sample_intrinsic(keys[0], row, obj_idx, pixel_scale,
-                              aux_cloud=scene.aux_cloud)
+                              aux_cloud=scene.aux_cloud,
+                              families=families)
 
     # PSF: Kolmogorov kick + gaussian kick (arcsec -> pixels)
     kx, ky = P.sample_radial(keys[1], n, psf_tables["kolmogorov"])
@@ -226,7 +240,7 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
                apply_dcr: bool = True,
                apply_diffraction: bool = True,
                diffraction_field_rotation: bool = True,
-               silicon=None, si_key=None) -> PhotonBatch:
+               silicon=None, si_key=None, families=None) -> PhotonBatch:
     """Full physics chain for a pooled batch: the per-photon equivalent of
     the reference's photon_ops pipeline (imsim/stamp.py:527-573 with
     config/imsim-config.yaml:281-320):
@@ -282,7 +296,8 @@ def shoot_full(key, scene: DeviceScene, obj_idx: jax.Array,
 
     # intrinsic + lensing offsets in arcsec (pixel_scale=1 -> arcsec)
     dx_as, dy_as = sample_intrinsic(keys[0], row, obj_idx, pixel_scale=1.0,
-                                    aux_cloud=scene.aux_cloud)
+                                    aux_cloud=scene.aux_cloud,
+                                    families=families)
     thx = thx + dx_as * arcsec
     thy = thy + dy_as * arcsec
 

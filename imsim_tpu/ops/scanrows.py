@@ -126,13 +126,59 @@ def scan_lanes(x, block=_BLK, interpret=False):
     )(x)
 
 
-def scan_slot_prefix(d, pair: int, share: int, blkq=1024,
-                     interpret=False):
+def _kernel_slot_mxu(d_ref, o_ref, carry_ref, *, gblk, beta_order):
+    """MXU formulation of _kernel_slot: the in-block lane prefix runs
+    as ONE (C*pe*G, 128) x (128, 128) upper-triangular matmul (the MXU
+    does a 128-long inclusive scan per row in a single pass) plus a
+    tiny (C*pe, G) x (G, G) strictly-upper matmul for the chunk-carry —
+    replacing log2(blk) VPU roll+select+add sweeps over the whole
+    block.  Lanes arrive pre-split (C, pe, G, 128) (a free row-major
+    reshape in HBM)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    d4 = d_ref[...]                       # (C, pe, G, 128)
+    f32 = jnp.float32
+    U = jnp.triu(jnp.ones((128, 128), f32))          # inclusive
+    SU = jnp.triu(jnp.ones((gblk, gblk), f32), k=1)  # exclusive
+    # inclusive prefix along lanes within each 128-chunk (MXU)
+    p = jax.lax.dot_general(d4, U, (((3,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    chunk_tot = p[..., 127]               # (C, pe, G)
+    # exclusive prefix of the chunk totals along G (MXU, tiny)
+    cp = jax.lax.dot_general(chunk_tot, SU, (((2,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    p = p + cp[..., None] + carry_ref[...][:, :, :, None]
+    carry_ref[...] = (cp[:, :, gblk - 1:gblk]
+                      + chunk_tot[:, :, gblk - 1:gblk]
+                      + carry_ref[...])
+    # per-plane inclusive lane scans done; now the ordinal-order
+    # cross-plane suffix (same construction as _kernel_slot)
+    d_last = d4.reshape(d4.shape[0], d4.shape[1], -1)
+    p2 = p.reshape(p.shape[0], p.shape[1], -1)
+    total = jnp.sum(p2, axis=1, keepdims=True)
+    outs = [None] * len(beta_order)
+    suffix = jnp.zeros_like(total)
+    for b in reversed(beta_order):
+        outs[b] = total - suffix
+        suffix = suffix + d_last[:, b:b + 1, :]
+    o_ref[...] = jnp.concatenate(outs, axis=1).reshape(d4.shape)
+
+
+def scan_slot_prefix(d, pair: int, share: int, blkq=2048,
+                     interpret=False, mxu=True):
     """Ordinal prefix sum of slot-layout deltas d (C, pe, mp):
     out[c, beta, q] = sum of d over all slots whose photon ordinal
     pe*q' + mu(beta') <= pe*q + mu(beta).  This IS materialize_rows'
     cumsum + pe relayout in one kernel, provided the caller scattered
-    each object's delta at plane beta(j0 % pe), lane j0 // pe."""
+    each object's delta at plane beta(j0 % pe), lane j0 // pe.
+
+    mxu=True (default) runs the in-block scans as triangular matmuls
+    on the MXU (see _kernel_slot_mxu); mxu=False keeps the VPU
+    log-shift formulation."""
     C, pe, mp = d.shape
     if pe != pair * share or mp % blkq:
         raise ValueError(f"shape {d.shape} vs pair={pair} share={share}"
@@ -141,6 +187,29 @@ def scan_slot_prefix(d, pair: int, share: int, blkq=1024,
     # planes by mu for the cross-plane suffix
     beta_order = tuple((mu % pair) * share + (mu // pair)
                        for mu in range(pe))
+    if mxu:
+        gblk = blkq // 128
+        d4 = d.reshape(C, pe, mp // 128, 128)
+        blk4 = pl.BlockSpec((C, pe, gblk, 128), lambda i: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_kernel_slot_mxu, gblk=gblk,
+                              beta_order=beta_order),
+            grid=(mp // blkq,),
+            in_specs=[blk4],
+            out_specs=blk4,
+            out_shape=jax.ShapeDtypeStruct(d4.shape, d.dtype),
+            scratch_shapes=[pltpu.VMEM((C, pe, 1), d.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=64 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * C * pe * mp * 128,
+                bytes_accessed=2 * 4 * C * pe * mp,
+                transcendentals=0),
+            interpret=interpret,
+        )(d4)
+        return out.reshape(C, pe, mp)
     grid = (mp // blkq,)
     blk = pl.BlockSpec((C, pe, blkq), lambda i: (0, 0, i),
                        memory_space=pltpu.VMEM)
@@ -168,9 +237,28 @@ def size_ok(n: int) -> bool:
     return n >= (1 << 18) and n % _BLK == 0
 
 
-def slot_size_ok(batch_size: int, pe: int, blkq: int = 1024) -> bool:
+def slot_size_ok(batch_size: int, pe: int, blkq: int = 2048) -> bool:
     """scan_slot_prefix dispatch test: pooled-batch scale and an
     mp = batch_size/pe that tiles into whole lane blocks."""
     return (pe > 1 and batch_size >= (1 << 18)
             and batch_size % pe == 0
             and (batch_size // pe) % blkq == 0)
+
+
+def align_batch(batch_size: int, pair: int, share: int,
+                blkq: int = 2048) -> int:
+    """Round a pooled batch size UP so slot_size_ok holds.
+
+    pooled_plan sizes batches as ceil(total/nb) rounded to pe — which
+    almost never tiles into whole (pe, blkq) lane blocks, silently
+    dropping production onto the XLA cumsum fallback (~180 ms/batch
+    slower at 18.7M photons, measured r5).  Rounding up to pe*blkq
+    costs at most pe*blkq-1 weight-0 padded photons per batch (~0.2%
+    of a pooled batch) and keeps the one-pass Pallas materialization
+    engaged.  Below the kernel's 2^18 dispatch threshold the size is
+    returned unchanged."""
+    pe = max(pair, 1) * max(share, 1)
+    if pe <= 1 or batch_size < (1 << 18):
+        return batch_size
+    q = pe * blkq
+    return -(-batch_size // q) * q

@@ -294,7 +294,16 @@ def sersic_poly2d(d_core=16, d_tail=10, d_n=10, u_split=0.85,
 
 
 def sample_sersic_poly(u, srs_n):
-    """Device: x = r/Re from (u, n) via the 2-D Chebyshev inverse CDF."""
+    """Device: x = r/Re from (u, n) via the 2-D Chebyshev inverse CDF.
+
+    TPU mapping note (measured negative result, round 5): routing the
+    n-direction contraction c_j(n) = sum_k D[j,k] T_k(x_n) through an
+    explicit (28, 11) x (11, N) matmul made the stage SLOWER (91 ->
+    114 ms per 16.7M batch on v5e): an 11-long contraction leaves the
+    128x128 MXU ~95% idle while the (28, N) coefficient matrix + the
+    (11, N) basis cost ~2.6 GB of extra HBM round-trips that the
+    scalar-fma form never materializes (XLA fuses it fully).  The
+    scalar chains stay."""
     D_core, D_tail, n_lo, n_hi, u_split, s_lo, s_hi = sersic_poly2d()
     xn = jnp.clip(2 * (srs_n - n_lo) / (n_hi - n_lo) - 1, -1.0, 1.0)
     # Chebyshev basis in n by recurrence: T (d_n+1) per photon
@@ -315,8 +324,8 @@ def sample_sersic_poly(u, srs_n):
 
     u = jnp.clip(u, 0.0, 1.0 - 1e-7)
     z_core = jnp.clip(2.0 * jnp.sqrt(u / u_split) - 1.0, -1.0, 1.0)
-    r_core = clenshaw(D_core, z_core)   # D_* stay host numpy: the
-    s = -jnp.log1p(-u)                  # scalars fold into the program
+    r_core = clenshaw(D_core, z_core)
+    s = -jnp.log1p(-u)
     z_tail = jnp.clip(2.0 * (s - s_lo) / (s_hi - s_lo) - 1.0, -1.0, 1.0)
     r_tail = jnp.exp(clenshaw(D_tail, z_tail))
     return jnp.where(u < u_split, jnp.maximum(r_core, 0.0), r_tail)

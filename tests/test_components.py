@@ -268,9 +268,82 @@ def test_scan_slot_prefix_matches_materialize_rows():
         beta = (mu % pair) * share + (mu // pair)
         d = jnp.zeros((C, pe, mp), jnp.float32).at[
             :, beta, j0 // pe].add(deltasT, mode="drop")
-        got = np.asarray(scan_slot_prefix(
-            d, pair, share, blkq=256, interpret=True)).reshape(C, bs)
-        assert np.abs(got - want).max() < 2e-6
+        for mxu in (True, False):   # MXU triangular-matmul + VPU log-shift
+            got = np.asarray(scan_slot_prefix(
+                d, pair, share, blkq=256, interpret=True,
+                mxu=mxu)).reshape(C, bs)
+            assert np.abs(got - want).max() < 2e-6
+
+
+def test_pooled_plan_slot_scan_alignment():
+    """pooled_plan must size pooled batches so the Pallas slot-scan
+    row materialization stays engaged (slot_size_ok) — ceil(total/nb)
+    rounded only to pe almost never tiles into whole lane blocks and
+    silently fell back to the XLA cumsum (~180 ms/batch at production
+    scale, r5)."""
+    from imsim_tpu.image.photon_pooling import pooled_plan
+    from imsim_tpu.ops.scanrows import align_batch, slot_size_ok
+
+    # unit behavior: aligned at pooled scale, untouched below threshold
+    assert slot_size_ok(align_batch(18_666_672, 4, 4), 16)
+    assert align_batch(50_000, 4, 4) == 50_000
+    assert align_batch(1 << 20, 1, 1) == 1 << 20      # pe=1: no kernel
+    for bs in (262_160, 1_112_352, 18_666_672):
+        a = align_batch(bs, 4, 4)
+        assert a >= bs and a - bs < 16 * 2048 and a % 16 == 0
+
+    # end-to-end: a pooled-scale plan lands on a kernel-eligible size
+    host = _tiny_host(n_obj=30)
+    host.flux[:] = np.round(
+        np.full(30, 2.4e6))                  # total 7.2e7 photons
+    cfg = PoolingConfig(xsize=256, ysize=256, nbatch=4,
+                        batch_size=30_000_000, pupil_pairing=4,
+                        screen_share=4)
+    modes = classify_objects(host, cfg, None)
+    cum, total, nb, batch_size = pooled_plan(host, modes, cfg)
+    assert batch_size * nb >= total
+    assert slot_size_ok(batch_size, 16)
+
+
+def test_sample_intrinsic_family_gating():
+    """render.sample_intrinsic(families=...) must be bit-identical to
+    the ungated program whenever `families` covers every type present —
+    dropping absent families is compile-time pruning, never a numerics
+    change (the RNG key splits are unconditional)."""
+    import jax
+
+    from imsim_tpu.catalog.instcat import KNOTS, POINT, SERSIC, STREAK
+    from imsim_tpu.image import scene as S
+    from imsim_tpu.image.render import sample_intrinsic
+
+    rng = np.random.default_rng(5)
+    n = 1024
+    key = jax.random.PRNGKey(17)
+    obj_idx = jnp.asarray(rng.integers(0, 5000, n).astype(np.int32))
+
+    def make_row(types):
+        t = rng.choice(types, n)
+        row = np.zeros((S.N_COLS, n), np.float32)
+        row[S.COL_TYPE] = t
+        row[S.COL_P0] = rng.uniform(0.3, 2.0, n)
+        row[S.COL_P1] = np.where(t == KNOTS,
+                                 rng.integers(5, 40, n),
+                                 rng.uniform(1.0, 4.0, n))
+        row[S.COL_P2] = rng.uniform(0.4, 1.0, n)       # q (ellipse)
+        row[S.COL_P3] = rng.uniform(0.0, np.pi, n)     # beta
+        row[S.COL_G1] = rng.normal(0, 0.02, n)
+        row[S.COL_G2] = rng.normal(0, 0.02, n)
+        row[S.COL_MU] = rng.uniform(0.9, 1.1, n)
+        return jnp.asarray(row)
+
+    for types in ([POINT], [POINT, SERSIC], [POINT, SERSIC, KNOTS],
+                  [POINT, SERSIC, KNOTS, STREAK]):
+        row = make_row(np.array(types))
+        fx, fy = sample_intrinsic(key, row, obj_idx, 0.2, families=None)
+        gx, gy = sample_intrinsic(key, row, obj_idx, 0.2,
+                                  families=tuple(types))
+        np.testing.assert_array_equal(np.asarray(fx), np.asarray(gx))
+        np.testing.assert_array_equal(np.asarray(fy), np.asarray(gy))
 
 
 def test_pooling_render_flux_and_resume(tmp_path):
