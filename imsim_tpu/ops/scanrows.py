@@ -168,7 +168,19 @@ def _kernel_slot_mxu(d_ref, o_ref, carry_ref, *, gblk, beta_order):
     o_ref[...] = jnp.concatenate(outs, axis=1).reshape(d4.shape)
 
 
-def scan_slot_prefix(d, pair: int, share: int, blkq=2048,
+# lanes per grid step across ALL pe planes: fixes the kernel's VMEM
+# block budget independent of the layout's plane count (pe=32 at the
+# pe=16 blkq blew the 64 MB scoped-VMEM stack by 1.94 MB on v5e)
+_SLOT_LANES = 32_768
+
+
+def slot_blkq(pe: int) -> int:
+    """Per-plane lane-block length for scan_slot_prefix: ~_SLOT_LANES
+    total lanes per grid step, rounded to whole 128-lane chunks."""
+    return 128 * max(1, _SLOT_LANES // max(pe, 1) // 128)
+
+
+def scan_slot_prefix(d, pair: int, share: int, blkq=None,
                      interpret=False, mxu=True):
     """Ordinal prefix sum of slot-layout deltas d (C, pe, mp):
     out[c, beta, q] = sum of d over all slots whose photon ordinal
@@ -178,8 +190,11 @@ def scan_slot_prefix(d, pair: int, share: int, blkq=2048,
 
     mxu=True (default) runs the in-block scans as triangular matmuls
     on the MXU (see _kernel_slot_mxu); mxu=False keeps the VPU
-    log-shift formulation."""
+    log-shift formulation.  blkq=None sizes lane blocks by slot_blkq
+    (constant VMEM budget across pe)."""
     C, pe, mp = d.shape
+    if blkq is None:
+        blkq = slot_blkq(pe)
     if pe != pair * share or mp % blkq:
         raise ValueError(f"shape {d.shape} vs pair={pair} share={share}"
                          f" blkq={blkq}")
@@ -237,16 +252,18 @@ def size_ok(n: int) -> bool:
     return n >= (1 << 18) and n % _BLK == 0
 
 
-def slot_size_ok(batch_size: int, pe: int, blkq: int = 2048) -> bool:
+def slot_size_ok(batch_size: int, pe: int, blkq: int = None) -> bool:
     """scan_slot_prefix dispatch test: pooled-batch scale and an
     mp = batch_size/pe that tiles into whole lane blocks."""
+    if blkq is None:
+        blkq = slot_blkq(pe)
     return (pe > 1 and batch_size >= (1 << 18)
             and batch_size % pe == 0
             and (batch_size // pe) % blkq == 0)
 
 
 def align_batch(batch_size: int, pair: int, share: int,
-                blkq: int = 2048) -> int:
+                blkq: int = None) -> int:
     """Round a pooled batch size UP so slot_size_ok holds.
 
     pooled_plan sizes batches as ceil(total/nb) rounded to pe — which
@@ -260,5 +277,5 @@ def align_batch(batch_size: int, pair: int, share: int,
     pe = max(pair, 1) * max(share, 1)
     if pe <= 1 or batch_size < (1 << 18):
         return batch_size
-    q = pe * blkq
+    q = pe * (slot_blkq(pe) if blkq is None else blkq)
     return -(-batch_size // q) * q

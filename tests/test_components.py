@@ -247,32 +247,32 @@ def test_scan_slot_prefix_matches_materialize_rows():
     from imsim_tpu.ops.scanrows import scan_slot_prefix
 
     rng = np.random.default_rng(11)
-    pair, share = 4, 4
-    pe = pair * share
-    mp, C, nb = 1024, 6, 3
-    bs = pe * mp
-    counts = rng.integers(0, 9, 4096)
-    counts[7] = 0
-    counts[100] = 2000
-    cum = np.cumsum(counts).astype(np.int32)
-    params = (rng.normal(size=(4096, C)) * 0.01).astype(np.float32)
-    for b in (0, 2):
-        want = np.asarray(materialize_rows(
-            jnp.asarray(params), jnp.asarray(cum), jnp.int32(b), nb, bs,
-            pair, share)).T
-        starts = np.concatenate([[0], cum[:-1]])
-        j0 = np.maximum(-((b - starts) // nb), 0)
-        deltasT = (params - np.concatenate(
-            [np.zeros((1, C), np.float32), params[:-1]])).T
-        mu = j0 % pe
-        beta = (mu % pair) * share + (mu // pair)
-        d = jnp.zeros((C, pe, mp), jnp.float32).at[
-            :, beta, j0 // pe].add(deltasT, mode="drop")
-        for mxu in (True, False):   # MXU triangular-matmul + VPU log-shift
-            got = np.asarray(scan_slot_prefix(
-                d, pair, share, blkq=256, interpret=True,
-                mxu=mxu)).reshape(C, bs)
-            assert np.abs(got - want).max() < 2e-6
+    for pair, share in ((4, 4), (4, 8)):   # pe=16 and the pe=32 layout
+        pe = pair * share
+        mp, C, nb = 1024, 6, 3
+        bs = pe * mp
+        counts = rng.integers(0, 9, 4096)
+        counts[7] = 0
+        counts[100] = 2000
+        cum = np.cumsum(counts).astype(np.int32)
+        params = (rng.normal(size=(4096, C)) * 0.01).astype(np.float32)
+        for b in (0, 2):
+            want = np.asarray(materialize_rows(
+                jnp.asarray(params), jnp.asarray(cum), jnp.int32(b), nb,
+                bs, pair, share)).T
+            starts = np.concatenate([[0], cum[:-1]])
+            j0 = np.maximum(-((b - starts) // nb), 0)
+            deltasT = (params - np.concatenate(
+                [np.zeros((1, C), np.float32), params[:-1]])).T
+            mu = j0 % pe
+            beta = (mu % pair) * share + (mu // pair)
+            d = jnp.zeros((C, pe, mp), jnp.float32).at[
+                :, beta, j0 // pe].add(deltasT, mode="drop")
+            for mxu in (True, False):   # MXU triangular + VPU log-shift
+                got = np.asarray(scan_slot_prefix(
+                    d, pair, share, blkq=256, interpret=True,
+                    mxu=mxu)).reshape(C, bs)
+                assert np.abs(got - want).max() < 2e-6
 
 
 def test_pooled_plan_slot_scan_alignment():
