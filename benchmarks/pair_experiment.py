@@ -88,7 +88,7 @@ def main(flux=100_000, trials=12):
 
     render_j = jax.jit(render_one, static_argnames=("pair", "share"))
 
-    for pair, share in ((1, 1), (4, 1), (4, 4), (8, 1)):
+    for pair, share in ((1, 1), (4, 1), (4, 4), (4, 8), (8, 1)):
         sizes, cxs, stamps = [], [], []
         for t in range(trials):
             img = np.asarray(

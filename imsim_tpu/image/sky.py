@@ -129,6 +129,18 @@ class SkyModel:
         vr = (1 - 0.96 * (1 - 1 / X**2)) ** -0.5 if X > 1 else 1.0
         return vr * 10 ** (-0.4 * k * (X - 1))
 
+    def _moon_ratio_v(self, ra, dec):
+        """Pure Krisciunas & Schaefer geometry/phase scalar: the
+        V-band moonlight-to-dark-sky flux ratio.  Multiplies the
+        moonlight TEMPLATE (normalized to unit V-ratio,
+        tools/make_sky_library.py) directly — the template's
+        Rayleigh/Mie-weighted solar spectrum carries the color."""
+        k = EXTINCTION_K.get("g", 0.21) * 0.62 + 0.08  # ~ k_V
+        sep = angular_separation(ra, dec, self.moon_ra, self.moon_dec)
+        return _krisciunas_schaefer_delta(
+            self.moon_phase_deg, self.moon_alt_rad, sep, k,
+            self.airmass)
+
     def _moon_factor(self, ra, dec):
         """Krisciunas & Schaefer moonlight as a flux ratio vs THIS
         band's dark sky: the K&S V-band ratio color-corrected by the
@@ -149,6 +161,17 @@ class SkyModel:
         beta = ecliptic_latitude(ra, dec)
         return 10 ** (0.4 * 1.3 * (1.0 - abs(np.sin(beta))))
 
+    def _twilight_ratio_r(self):
+        """Pure sun-altitude twilight scalar: the r-band
+        twilight-to-dark-sky flux ratio (crosses 1 at sun alt -13 deg,
+        10x per 2.5 deg; Yoachim et al. 2016 / Patat et al. 2006).
+        Multiplies the twilight TEMPLATE (normalized to unit r-ratio,
+        tools/make_sky_library.py) directly."""
+        sun_alt_deg = np.degrees(self.sun_alt_rad)
+        if sun_alt_deg <= -20.0:
+            return 0.0
+        return 10.0 ** ((sun_alt_deg + 13.0) / 2.5)
+
     def _twilight_excess(self):
         """Twilight brightening vs dark sky.  Scattered-sunlight decay
         calibrated to the rubin_sim twilight component's behavior: the
@@ -158,10 +181,9 @@ class SkyModel:
         the same slope at Paranal), so it is negligible below -15 deg
         (the old -18-deg-pivot form overshot 2x at -17 deg).  Per-band
         strength follows the solar-vs-dark-sky color like moonlight."""
-        sun_alt_deg = np.degrees(self.sun_alt_rad)
-        if sun_alt_deg <= -20.0:
+        ratio_r = self._twilight_ratio_r()
+        if ratio_r == 0.0:
             return 0.0
-        ratio_r = 10.0 ** ((sun_alt_deg + 13.0) / 2.5)
         color = _solar_vs_dark_color(self.band) / _solar_vs_dark_color("r")
         return ratio_r * color
 
@@ -180,11 +202,15 @@ class SkyModel:
                 if name == "airglow":
                     rate += r0 * self._airglow_factor()
                 elif name == "moonlight":
-                    rate += r0 * self._moon_factor(ra, dec)
+                    # template is normalized to unit K&S V-ratio and
+                    # carries the scattered-moonlight COLOR; only the
+                    # geometry/phase scalar applies
+                    rate += r0 * self._moon_ratio_v(ra, dec)
                 elif name == "zodiacal":
                     rate += r0 * self._zodi_factor(ra, dec)
                 elif name == "twilight":
-                    rate += r0 * self._twilight_excess()
+                    # unit r-ratio template; pure sun-altitude scalar
+                    rate += r0 * self._twilight_ratio_r()
                 else:       # merged: total analytic ratio vs dark
                     ratio = (self._airglow_factor()
                              + self._moon_factor(ra, dec)

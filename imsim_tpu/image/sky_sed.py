@@ -51,7 +51,21 @@ class SkySED:
         return np.sum(list(self.components.values()), axis=0)
 
 
+def default_library_path() -> str:
+    """The shipped component library (tools/make_sky_library.py):
+    synthesized airglow/zodiacal/moonlight/twilight templates whose
+    band integrals reproduce the analytic dark-sky rates exactly and
+    whose morphology carries the OH line forest (y fringing contrast)
+    and the Rayleigh/Mie moonlight blue-up the analytic solar-color
+    scaling misses."""
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "sky_library.npz")
+
+
 def load_sky_sed(path: str) -> SkySED:
+    if str(path) == "default":
+        path = default_library_path()
     if str(path).endswith(".pkl"):
         # the reference's DC2-production sky spectrum snapshot
         # (data/sky_model_sed_DC2Production.pkl): a pickled
