@@ -167,25 +167,44 @@ def bench_visit(n_photons_per_ccd=1.0e8, obj_per_ccd=12_000,
             "output.truth.file_name=centroid_{det_name}.txt",
         ]
 
-        def one_pass():
+        def one_pass(extra_overrides=()):
+            shutil.rmtree(out, ignore_errors=True)
             t0 = time.time()
             n_ccd = 0
             for r in run_visit_iter({"template": "imsim-config-instcat"},
-                                    overrides=overrides):
+                                    overrides=overrides
+                                    + list(extra_overrides)):
                 n_ccd += 1
             return time.time() - t0, n_ccd
 
-        cold, n_ccd = one_pass()
-        shutil.rmtree(out, ignore_errors=True)
-        warm, _ = one_pass()
+        # Overlap A/B (VERDICT r4 item 7): the docs claim host prep and
+        # readout/FITS IO overlap the device pipeline.  Measure it:
+        # identical warm passes with the overlap machinery on
+        # (prefetch thread + pipelined IO pool) vs off (everything
+        # serialized on the render thread).  off - on = the host/IO
+        # work that the overlap actually hides per visit.
+        from imsim_tpu.config import runner as runner_mod
+
+        ON = ("output.prefetch=true", "output.io_workers=2")
+        OFF = ("output.prefetch=false", "output.io_workers=0")
+        cold, n_ccd = one_pass(ON)
+        warm, _ = one_pass(ON)
+        runner_mod.reset_host_timers()
+        warm_off, _ = one_pass(OFF)
+        host = dict(runner_mod.HOST_TIMERS)  # serial pass: all of this
+        # sat on the critical path; with prefetch+io_workers it runs on
+        # worker threads instead (the overlap-hideable host work).
         result = {
             "metric": "comcam_visit_production_wallclock",
             "value": round(warm, 3),
             "unit": "seconds/visit end-to-end, %d CCDs, %.1e obj, "
                     "%.1e photons/CCD (catalog parse + prep + render + "
                     "readout + RICE/FITS+truth IO; cold first pass "
-                    "incl. compiles %.1f s)"
-                    % (n_ccd, float(n_obj), n_photons_per_ccd, cold),
+                    "incl. compiles %.1f s; overlap off %.1f s; "
+                    "overlap-hideable host work: prep %.1f s + "
+                    "RICE/FITS IO %.1f s per visit)"
+                    % (n_ccd, float(n_obj), n_photons_per_ccd, cold,
+                       warm_off, host["prep_s"], host["io_s"]),
             "vs_baseline": round(9 * 10.0 / warm, 3),
         }
         print(json.dumps(result))

@@ -16,7 +16,10 @@ fans them out across a device mesh (the output.nproc analog).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
+import threading
+import time
 
 import numpy as np
 
@@ -388,6 +391,37 @@ def render_one_ccd(ctx: VisitContext, det_num: int, logger=None,
     return result
 
 
+# Host-side wall-clock accumulators (seconds) for the two pieces of
+# per-CCD work that `output.prefetch` / `output.io_workers` move off the
+# render thread's critical path.  Thread-safe (prefetch + IO pools call
+# these concurrently); reset + read them around a visit to measure how
+# much host work the overlap machinery can hide (bench.py --visit).
+HOST_TIMERS = {"prep_s": 0.0, "io_s": 0.0}
+_TIMER_LOCK = threading.Lock()
+
+
+def reset_host_timers():
+    with _TIMER_LOCK:
+        for k in HOST_TIMERS:
+            HOST_TIMERS[k] = 0.0
+
+
+def _timed(key):
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            t0 = time.time()
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                dt = time.time() - t0
+                with _TIMER_LOCK:
+                    HOST_TIMERS[key] += dt
+        return wrapper
+    return deco
+
+
+@_timed("prep_s")
 def prepare_ccd(ctx: VisitContext, det_num: int, logger=None) -> CcdPrep:
     """Host-side per-detector preparation shared by the serial and the
     mesh-sharded visit paths: WCS, per-det telescope/bandpass, catalog
@@ -863,6 +897,7 @@ def prepare_readout(ctx: VisitContext, result) -> None:
     result["eimage"] = np.asarray(result["eimage"])
 
 
+@_timed("io_s")
 def write_outputs(ctx: VisitContext, result, logger=None):
     cfg = ctx.cfg
     out_cfg = cfg.get("output", {})
