@@ -433,3 +433,43 @@ def test_opd_eps_narrows_fit_annulus():
     # the design carries waves of balanced focus/spherical: restricting
     # the annulus rebalances them, so the fits must differ measurably
     assert float(np.max(np.abs(zk_wide - zk_def))) > 1.0
+
+
+def test_host_timers_accumulate_and_reset():
+    """runner.HOST_TIMERS: thread-safe wall-clock accumulators around
+    prepare_ccd / write_outputs that bench.py --visit reads to measure
+    the overlap-hideable host work (prep + RICE/FITS IO) on a serial
+    visit pass."""
+    import time as _time
+
+    from imsim_tpu.config import runner
+
+    # the production entry points carry the timing wrapper
+    assert hasattr(runner.prepare_ccd, "__wrapped__")
+    assert hasattr(runner.write_outputs, "__wrapped__")
+
+    runner.reset_host_timers()
+    assert runner.HOST_TIMERS == {"prep_s": 0.0, "io_s": 0.0}
+
+    @runner._timed("io_s")
+    def fake_io():
+        _time.sleep(0.01)
+        return 7
+
+    assert fake_io() == 7 and fake_io() == 7
+    assert runner.HOST_TIMERS["io_s"] >= 0.02
+    assert runner.HOST_TIMERS["prep_s"] == 0.0
+
+    # exceptions still record their elapsed time (finally-path)
+    @runner._timed("prep_s")
+    def fake_fail():
+        _time.sleep(0.01)
+        raise ValueError("boom")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fake_fail()
+    assert runner.HOST_TIMERS["prep_s"] >= 0.01
+
+    runner.reset_host_timers()
+    assert runner.HOST_TIMERS == {"prep_s": 0.0, "io_s": 0.0}
